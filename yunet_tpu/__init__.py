@@ -1,0 +1,22 @@
+"""yunet_tpu — a TPU-native (JAX/XLA/Pallas) face-detection framework.
+
+A ground-up rebuild of the capabilities of ShiqiYu/libfacedetection.train
+(the YuNet training/eval/export stack, a trimmed MMDetection fork) designed
+for TPU hardware: functional model with explicit parameter pytrees, fixed
+static shapes everywhere, SPMD data parallelism over a `jax.sharding.Mesh`,
+and host-side native (C++) kernels where the reference relied on mmcv's
+C++/CUDA ops.
+
+Layout:
+  models/    ConvDPUnit / backbone / TFPN neck / head / detector (pure fns)
+  ops/       priors, box decode/encode, IoU, losses, SimOTA, NMS
+  data/      labelv2 parser, augmentation pipeline, batched loader
+  train/     loss + train step, LR schedules, train loop runtime
+  parallel/  mesh + sharding rules
+  eval/      WIDER Face AP evaluation, inference helpers
+  export/    C++ weight-file generation (libfacedetection), ONNX (gated)
+  utils/     torch checkpoint import, logging, profiling
+  native/    C++ host kernels (exact NMS, eval matching) via ctypes
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,188 @@
+"""Dataclass configuration system with the two shipped presets.
+
+Mirrors the declarative surface of the reference python-file configs
+(/root/reference/configs/yunet_n.py, yunet_s.py) without the mmcv Config /
+registry machinery: configs are plain frozen dataclasses, presets are
+functions, and CLI overrides use the same dotted-key syntax as the
+reference's ``--cfg-options`` (tools/train.py:72-81 in the reference).
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture plan. Defaults follow reference configs/yunet_n.py:104-131."""
+
+    name: str = "yunet_n"
+    # backbone: list of per-stage channel plans; stage 0 is the stem
+    # (in, mid, out); later stages are Conv4layerBlocks (in, out).
+    stage_channels: Tuple[Tuple[int, ...], ...] = (
+        (3, 16, 16), (16, 64), (64, 64), (64, 64), (64, 64), (64, 64))
+    downsample_idx: Tuple[int, ...] = (0, 2, 3, 4)
+    out_idx: Tuple[int, ...] = (3, 4, 5)
+    # neck
+    neck_in_channels: Tuple[int, ...] = (64, 64, 64)
+    # head
+    num_classes: int = 1
+    head_in_channels: int = 64
+    feat_channels: int = 64
+    shared_stacked_convs: int = 1
+    stacked_convs: int = 0
+    use_kps: bool = True
+    kps_num: int = 5
+    strides: Tuple[int, ...] = (8, 16, 32)
+    prior_offset: float = 0.0
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss weights / shapes. Reference configs/yunet_n.py:118-131."""
+
+    cls_weight: float = 1.0
+    bbox_weight: float = 5.0
+    obj_weight: float = 1.0
+    kps_weight: float = 0.1
+    kps_beta: float = 1.0 / 9.0  # SmoothL1 beta
+    eiou_smooth_point: float = 0.1
+    eiou_eps: float = 1e-6
+
+
+@dataclass(frozen=True)
+class AssignerConfig:
+    """SimOTA knobs. Reference core/bbox/assigners/sim_ota_assigner.py:28-36."""
+
+    center_radius: float = 2.5
+    candidate_topk: int = 10
+    iou_weight: float = 3.0
+    cls_weight: float = 1.0
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    """Decode/NMS at test time. Reference configs/yunet_n.py:139-145."""
+
+    score_thr: float = 0.02
+    nms_iou_thr: float = 0.45
+    max_per_img: int = -1  # -1: keep everything above score_thr
+    # static cap for the on-device NMS path (host C++ NMS has no cap)
+    device_nms_pre: int = 5000
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset paths + augmentation. Reference configs/yunet_n.py:23-78."""
+
+    data_root: str = "data/widerface/"
+    train_ann: str = "data/widerface/labelv2/train/labelv2.txt"
+    train_img_prefix: str = "data/widerface/WIDER_train/images/"
+    val_ann: str = "data/widerface/labelv2/val/labelv2.txt"
+    val_img_prefix: str = "data/widerface/WIDER_val/images/"
+    gt_dir: str = "data/widerface/labelv2/val/gt/"
+    img_size: int = 640
+    # RandomSquareCrop scale choices (yunet_n uses 0.5..1.5; yunet_s 0.3..1.0)
+    crop_choice: Tuple[float, ...] = (0.5, 0.7, 0.9, 1.1, 1.3, 1.5)
+    flip_ratio: float = 0.5
+    # static GT padding per image (replaces DataContainer dynamic batching)
+    max_gts: int = 128
+    samples_per_device: int = 16
+    workers: int = 4
+    min_size: float | None = None
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization recipe. Reference configs/yunet_n.py:1-12."""
+
+    lr: float = 0.01
+    base_total_batch: int = 32  # 2 GPUs x 16 in the reference recipe
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    warmup_iters: int = 1500
+    warmup_ratio: float = 0.001
+    lr_decay_epochs: Tuple[int, ...] = (400, 544)
+    lr_decay_factor: float = 0.1
+    max_epochs: int = 640
+    checkpoint_interval: int = 80  # epochs
+    log_interval: int = 50  # iters
+    seed: int = 0
+    # numerics: bf16 activations in the conv trunk, f32 losses/decode
+    bf16: bool = True
+    ema_momentum: float = 0.0  # 0 disables EMA (reference default: off)
+    grad_clip: float = 0.0  # 0 disables (reference: grad_clip=None)
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    assigner: AssignerConfig = field(default_factory=AssignerConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    work_dir: str = "./work_dirs/yunet_n"
+
+
+def yunet_n() -> Config:
+    """The shipped YuNet-n preset (reference configs/yunet_n.py)."""
+    return Config()
+
+
+def yunet_s() -> Config:
+    """The shipped YuNet-s preset (reference configs/yunet_s.py):
+    narrower stages, no shared head conv, tighter crop choices."""
+    return Config(
+        model=ModelConfig(
+            name="yunet_s",
+            stage_channels=((3, 16, 16), (16, 32), (32, 64), (64, 64),
+                            (64, 64), (64, 64)),
+            shared_stacked_convs=0,
+        ),
+        data=DataConfig(crop_choice=(0.3, 0.45, 0.6, 0.8, 1.0)),
+        work_dir="./work_dirs/yunet_s",
+    )
+
+
+_PRESETS = {"yunet_n": yunet_n, "yunet_s": yunet_s}
+
+
+def get_config(name: str) -> Config:
+    if name not in _PRESETS:
+        raise KeyError(f"unknown config '{name}'; have {sorted(_PRESETS)}")
+    return _PRESETS[name]()
+
+
+def _coerce(value: str) -> Any:
+    try:
+        return ast.literal_eval(value)
+    except (ValueError, SyntaxError):
+        return value
+
+
+def apply_overrides(cfg: Config, options: Sequence[str]) -> Config:
+    """Apply ``section.key=value`` overrides (reference --cfg-options)."""
+    for opt in options:
+        key, _, raw = opt.partition("=")
+        parts = key.strip().split(".")
+        value = _coerce(raw.strip())
+        cfg = _replace_path(cfg, parts, value)
+    return cfg
+
+
+def _replace_path(node: Any, parts: Sequence[str], value: Any) -> Any:
+    head = parts[0]
+    if not dataclasses.is_dataclass(node) or head not in {
+            f.name for f in dataclasses.fields(node)}:
+        raise KeyError(f"no config field '{head}' on {type(node).__name__}")
+    if len(parts) == 1:
+        current = getattr(node, head)
+        if isinstance(current, tuple) and isinstance(value, list):
+            value = tuple(value)
+        return dataclasses.replace(node, **{head: value})
+    child = _replace_path(getattr(node, head), parts[1:], value)
+    return dataclasses.replace(node, **{head: child})

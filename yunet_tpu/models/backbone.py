@@ -1,0 +1,57 @@
+"""YuNet backbone — reference mmdet/models/backbones/yunet_backbone.py:8-41.
+
+Six sequential stages (stem + five Conv4layerBlocks), with 2x max-pool after
+the stages listed in ``downsample_idx`` and features emitted for the stages
+in ``out_idx`` (strides 8/16/32 for the shipped configs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (Params, State, conv4layer_block, conv4layer_block_init,
+                     conv_head, conv_head_init)
+
+
+def max_pool2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 max pool, NHWC. Floor semantics like F.max_pool2d."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else
+        jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID")
+
+
+def yunet_backbone_init(key, stage_channels: Sequence[Sequence[int]]
+                        ) -> Tuple[Params, State]:
+    keys = jax.random.split(key, len(stage_channels))
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    p["model0"], s["model0"] = conv_head_init(keys[0], *stage_channels[0])
+    for i in range(1, len(stage_channels)):
+        p[f"model{i}"], s[f"model{i}"] = conv4layer_block_init(
+            keys[i], *stage_channels[i])
+    return p, s
+
+
+def yunet_backbone(p: Params, s: State, x: jnp.ndarray, *,
+                   downsample_idx: Sequence[int], out_idx: Sequence[int],
+                   train: bool = False
+                   ) -> Tuple[List[jnp.ndarray], State]:
+    num_stages = len(p)
+    outs: List[jnp.ndarray] = []
+    new_s: Dict[str, Any] = {}
+    for i in range(num_stages):
+        name = f"model{i}"
+        fn = conv_head if i == 0 else conv4layer_block
+        x, new_s[name] = fn(p[name], s[name], x, train=train)
+        if i in out_idx:
+            outs.append(x)
+        if i in downsample_idx:
+            x = max_pool2x(x)
+    return outs, new_s

@@ -1,0 +1,197 @@
+"""Fundamental YuNet blocks as pure JAX functions (NHWC layout).
+
+Semantics mirror the reference blocks in
+mmdet/models/utils/yunet_layer.py:4-82 (ConvDPUnit: 1x1 pointwise conv with
+bias, then 3x3 *depthwise* conv with bias, then optional BN+ReLU — note the
+pointwise-then-depthwise order, the reverse of MobileNet), but the
+implementation is TPU-first: NHWC activations, HWIO weights, functional
+parameter pytrees, and BatchNorm whose running state is threaded explicitly
+so data-parallel training can choose local-BN (per-shard statistics, the
+reference's per-GPU BN behaviour) without framework magic.
+
+Parameter pytree conventions
+----------------------------
+conv:        {"w": (kh, kw, cin, cout) f32, "b": (cout,) f32}
+depthwise:   {"w": (kh, kw, 1, cout) f32, "b": (cout,) f32}
+batchnorm:   params {"scale": (c,), "bias": (c,)}
+             state  {"mean": (c,), "var": (c,)}
+ConvDPUnit:  params {"conv1": conv, "conv2": depthwise[, "bn": bn-params]}
+             state  {"bn": bn-state} (only when with_bn)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5  # torch.nn.BatchNorm2d default, used by every BN in the model
+BN_MOMENTUM = 0.1  # torch running-stat update: new = (1-m)*old + m*batch
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
+           stride: int = 1, padding: int = 0,
+           depthwise: bool = False) -> jnp.ndarray:
+    """NHWC conv. Accumulates in f32 on the MXU regardless of input dtype."""
+    groups = w.shape[-1] if depthwise else 1
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def batch_norm(x: jnp.ndarray, p: Params, s: State, *, train: bool,
+               momentum: float = BN_MOMENTUM,
+               eps: float = BN_EPS) -> Tuple[jnp.ndarray, State]:
+    """BatchNorm over (N, H, W). In train mode normalizes with the *local*
+    batch statistics of this shard (matching the reference's per-GPU
+    non-sync BN) and returns updated running stats; in eval mode uses the
+    running stats and returns them unchanged.
+
+    The variance used for normalization is the biased (population) batch
+    variance; the running-var update uses the unbiased estimate — both
+    exactly as torch.nn.BatchNorm2d does.
+    """
+    scale, bias = p["scale"], p["bias"]
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1.0 - momentum) * s["mean"] + momentum * mean,
+            "var": (1.0 - momentum) * s["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_state = s
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps) * scale
+    y = (x.astype(jnp.float32) - mean) * inv + bias
+    return y.astype(x.dtype), new_state
+
+
+def relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(x, 0)
+
+
+# ---------------------------------------------------------------------------
+# initializers (match reference init: xavier-normal conv weights, bias 0.02,
+# BN scale 1 / bias 0 — yunet_backbone.py:21-31)
+# ---------------------------------------------------------------------------
+
+def _xavier_normal(key, kh, kw, cin, cout, groups: int = 1) -> jnp.ndarray:
+    # torch fan_in/fan_out for Conv2d(OIHW): fan_in = (cin/groups)*kh*kw,
+    # fan_out = cout*kh*kw/1 (torch divides fan_out by groups for the O dim
+    # stored per group; with weight (cout, cin/groups, kh, kw):
+    # fan_in=cin/groups*kh*kw, fan_out=cout/groups... torch uses
+    # _calculate_fan_in_and_fan_out on the tensor: fan_in = size(1)*kh*kw,
+    # fan_out = size(0)*kh*kw).
+    fan_in = (cin // groups) * kh * kw
+    fan_out = cout * kh * kw
+    std = float(np.sqrt(2.0 / (fan_in + fan_out)))
+    return jax.random.normal(key, (kh, kw, cin // groups, cout),
+                             jnp.float32) * std
+
+
+def conv_init(key, kh, kw, cin, cout, depthwise: bool = False) -> Params:
+    groups = cout if depthwise else 1
+    cin_eff = cout if depthwise else cin
+    return {
+        "w": _xavier_normal(key, kh, kw, cin_eff, cout, groups),
+        "b": jnp.full((cout,), 0.02, jnp.float32),
+    }
+
+
+def bn_init(c: int) -> Tuple[Params, State]:
+    p = {"scale": jnp.ones((c,), jnp.float32),
+         "bias": jnp.zeros((c,), jnp.float32)}
+    s = {"mean": jnp.zeros((c,), jnp.float32),
+         "var": jnp.ones((c,), jnp.float32)}
+    return p, s
+
+
+# ---------------------------------------------------------------------------
+# ConvDPUnit — reference yunet_layer.py:4-36
+# ---------------------------------------------------------------------------
+
+def conv_dp_unit_init(key, cin: int, cout: int,
+                      with_bn: bool = True) -> Tuple[Params, State]:
+    k1, k2 = jax.random.split(key)
+    p: Params = {
+        "conv1": conv_init(k1, 1, 1, cin, cout),
+        "conv2": conv_init(k2, 3, 3, cout, cout, depthwise=True),
+    }
+    s: State = {}
+    if with_bn:
+        p["bn"], s_bn = bn_init(cout)
+        s["bn"] = s_bn
+    return p, s
+
+
+def conv_dp_unit(p: Params, s: State, x: jnp.ndarray, *,
+                 train: bool = False) -> Tuple[jnp.ndarray, State]:
+    x = conv2d(x, p["conv1"]["w"], p["conv1"]["b"])
+    x = conv2d(x, p["conv2"]["w"], p["conv2"]["b"], padding=1,
+               depthwise=True)
+    if "bn" in p:
+        x, new_bn = batch_norm(x, p["bn"], s["bn"], train=train)
+        return relu(x), {"bn": new_bn}
+    return x, {}
+
+
+# ---------------------------------------------------------------------------
+# Conv_head (stem) — reference yunet_layer.py:39-62
+# ---------------------------------------------------------------------------
+
+def conv_head_init(key, cin: int, cmid: int,
+                   cout: int) -> Tuple[Params, State]:
+    k1, k2 = jax.random.split(key)
+    p: Params = {"conv1": conv_init(k1, 3, 3, cin, cmid)}
+    p["bn1"], s_bn1 = bn_init(cmid)
+    p["conv2"], s_conv2 = conv_dp_unit_init(k2, cmid, cout, with_bn=True)
+    return p, {"bn1": s_bn1, "conv2": s_conv2}
+
+
+def conv_head(p: Params, s: State, x: jnp.ndarray, *,
+              train: bool = False) -> Tuple[jnp.ndarray, State]:
+    x = conv2d(x, p["conv1"]["w"], p["conv1"]["b"], stride=2, padding=1)
+    x, new_bn1 = batch_norm(x, p["bn1"], s["bn1"], train=train)
+    x = relu(x)
+    x, new_conv2 = conv_dp_unit(p["conv2"], s["conv2"], x, train=train)
+    return x, {"bn1": new_bn1, "conv2": new_conv2}
+
+
+# ---------------------------------------------------------------------------
+# Conv4layerBlock — reference yunet_layer.py:65-82
+# ---------------------------------------------------------------------------
+
+def conv4layer_block_init(key, cin: int, cout: int,
+                          with_bn: bool = True) -> Tuple[Params, State]:
+    k1, k2 = jax.random.split(key)
+    p1, s1 = conv_dp_unit_init(k1, cin, cin, with_bn=True)
+    p2, s2 = conv_dp_unit_init(k2, cin, cout, with_bn=with_bn)
+    return {"conv1": p1, "conv2": p2}, {"conv1": s1, "conv2": s2}
+
+
+def conv4layer_block(p: Params, s: State, x: jnp.ndarray, *,
+                     train: bool = False) -> Tuple[jnp.ndarray, State]:
+    x, n1 = conv_dp_unit(p["conv1"], s["conv1"], x, train=train)
+    x, n2 = conv_dp_unit(p["conv2"], s["conv2"], x, train=train)
+    return x, {"conv1": n1, "conv2": n2}
