@@ -1,0 +1,139 @@
+"""Ops tests: priors, decode/encode, IoU, NMS (device vs native vs numpy),
+loss primitives vs torch."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from yunet_tpu.ops import (grid_priors, bbox_decode, kps_decode, kps_encode,
+                           pairwise_iou, device_nms)
+from yunet_tpu.ops.losses import bce_with_logits, bce_probs, smooth_l1, eiou
+from yunet_tpu import native
+
+
+def test_grid_priors_layout():
+    pri = grid_priors([(4, 4), (2, 2), (1, 1)], [8, 16, 32], offset=0.0)
+    assert pri.shape == (21, 4)
+    # level 0 row-major: x fastest
+    np.testing.assert_allclose(pri[0], [0, 0, 8, 8])
+    np.testing.assert_allclose(pri[1], [8, 0, 8, 8])
+    np.testing.assert_allclose(pri[4], [0, 8, 8, 8])
+    np.testing.assert_allclose(pri[16], [0, 0, 16, 16])
+    np.testing.assert_allclose(pri[20], [0, 0, 32, 32])
+    pri5 = grid_priors([(2, 2)], [8], offset=0.5)
+    np.testing.assert_allclose(pri5[0], [4, 4, 8, 8])
+
+
+def test_bbox_decode_formula():
+    rng = np.random.RandomState(0)
+    priors = jnp.asarray(grid_priors([(4, 4)], [8]))
+    pred = jnp.asarray(rng.randn(16, 4).astype(np.float32))
+    got = np.asarray(bbox_decode(priors, pred))
+    p = np.asarray(priors)
+    cxy = pred[:, :2] * p[:, 2:] + p[:, :2]
+    wh = np.exp(pred[:, 2:]) * p[:, 2:]
+    want = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_kps_roundtrip():
+    rng = np.random.RandomState(1)
+    priors = jnp.asarray(grid_priors([(4, 4)], [8]))
+    kps = jnp.asarray(rng.uniform(0, 32, (16, 10)).astype(np.float32))
+    enc = kps_encode(priors, kps)
+    dec = kps_decode(priors, enc)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(kps), atol=1e-5)
+
+
+def test_pairwise_iou_basic():
+    a = jnp.asarray([[0., 0., 10., 10.], [5., 5., 15., 15.]])
+    b = jnp.asarray([[0., 0., 10., 10.], [20., 20., 30., 30.]])
+    iou = np.asarray(pairwise_iou(a, b))
+    np.testing.assert_allclose(iou[0, 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(iou[0, 1], 0.0, atol=1e-6)
+    np.testing.assert_allclose(iou[1, 0], 25.0 / 175.0, rtol=1e-5)
+
+
+def _random_boxes(n, seed, size=200.0):
+    rng = np.random.RandomState(seed)
+    c = rng.uniform(10, size - 10, (n, 2))
+    wh = rng.uniform(2, 60, (n, 2))
+    return np.concatenate([c - wh / 2, c + wh / 2], -1).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_nms_device_matches_native(seed):
+    n = 200
+    boxes = _random_boxes(n, seed)
+    scores = np.random.RandomState(seed + 10).uniform(
+        0, 1, n).astype(np.float32)
+    iou_thr, score_thr = 0.45, 0.02
+
+    keep_native = native.nms(boxes, np.where(scores >= score_thr, scores,
+                                             -1), iou_thr)
+    keep_native = [i for i in keep_native if scores[i] >= score_thr]
+
+    dets, keep = device_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            top_k=n, iou_thr=iou_thr, score_thr=score_thr)
+    dets, keep = np.asarray(dets), np.asarray(keep)
+    got = dets[keep]
+    want_boxes = boxes[keep_native]
+    want_scores = scores[keep_native]
+    assert got.shape[0] == len(keep_native)
+    np.testing.assert_allclose(got[:, :4], want_boxes, rtol=1e-5)
+    np.testing.assert_allclose(got[:, 4], want_scores, rtol=1e-5)
+
+
+def test_native_nms_matches_numpy_fallback():
+    boxes = _random_boxes(300, 7)
+    scores = np.random.RandomState(8).uniform(0, 1, 300).astype(np.float32)
+    a = native.nms(boxes, scores, 0.45)
+    b = native._nms_numpy(boxes, scores, 0.45)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bce_matches_torch():
+    import torch
+    rng = np.random.RandomState(3)
+    x = rng.randn(100).astype(np.float32) * 5
+    t = rng.uniform(0, 1, 100).astype(np.float32)
+    got = np.asarray(bce_with_logits(jnp.asarray(x), jnp.asarray(t)))
+    want = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(x), torch.from_numpy(t), reduction="none").numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # prob-space BCE with clamp, vs torch F.binary_cross_entropy
+    p = rng.uniform(0, 1, 100).astype(np.float32)
+    p[:3] = [0.0, 1.0, 0.5]
+    got = np.asarray(bce_probs(jnp.asarray(p), jnp.asarray(t)))
+    want = torch.nn.functional.binary_cross_entropy(
+        torch.from_numpy(p), torch.from_numpy(t), reduction="none").numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_smooth_l1_matches_torch():
+    import torch
+    rng = np.random.RandomState(4)
+    a = rng.randn(50).astype(np.float32)
+    b = rng.randn(50).astype(np.float32)
+    got = np.asarray(smooth_l1(jnp.asarray(a), jnp.asarray(b), 1.0 / 9.0))
+    want = torch.nn.functional.smooth_l1_loss(
+        torch.from_numpy(a), torch.from_numpy(b), reduction="none",
+        beta=1.0 / 9.0).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_eiou_properties():
+    same = jnp.asarray([[0., 0., 10., 10.]])
+    l0 = float(eiou(same, same)[0])
+    assert l0 < 1e-5
+    near = jnp.asarray([[1., 1., 11., 11.]])
+    far = jnp.asarray([[8., 8., 18., 18.]])
+    l_near = float(eiou(near, same)[0])
+    l_far = float(eiou(far, same)[0])
+    assert 0 < l_near < l_far
+    # smooth region: loss = 0.5*x^2/sp for x < sp
+    almost = jnp.asarray([[0., 0., 10., 10.4]])
+    x = 1.0 - float(  # IoU' of almost vs same
+        (10 * 10) / (10 * 10.4))
+    l = float(eiou(almost, same)[0])
+    np.testing.assert_allclose(l, 0.5 * x * x / 0.1, rtol=1e-3)

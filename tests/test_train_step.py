@@ -1,0 +1,108 @@
+"""Train-step tests: loss composition, single-device vs 8-device SPMD
+equivalence, LR schedule parity with the reference recipe."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from yunet_tpu.config import yunet_n
+from yunet_tpu.models import YuNet
+from yunet_tpu.train import init_train_state, make_train_step
+from yunet_tpu.train.lr import lr_schedule, scale_lr
+
+
+def _small_cfg():
+    cfg = yunet_n()
+    return dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, bf16=False))
+
+
+def _batch(b, img, g=8, seed=0):
+    rng = np.random.RandomState(seed)
+    bb = np.sort(rng.uniform(5, img - 5, (b, g, 2, 2)).astype(np.float32),
+                 axis=2)
+    return {
+        "image": jnp.asarray(
+            rng.randint(0, 256, (b, img, img, 3)).astype(np.float32)),
+        "gt_bboxes": jnp.asarray(
+            np.concatenate([bb[:, :, 0, :], bb[:, :, 1, :]], -1)),
+        "gt_labels": jnp.zeros((b, g), jnp.int32),
+        "gt_kps": jnp.asarray(
+            rng.uniform(5, img - 5, (b, g, 5, 3)).astype(np.float32)),
+        "gt_valid": jnp.asarray(np.tile(np.arange(g) < 3, (b, 1))),
+    }
+
+
+def test_train_step_decreases_loss():
+    cfg = _small_cfg()
+    model = YuNet(cfg.model)
+    ts, tx = init_train_state(cfg, steps_per_epoch=10, total_batch=4)
+    step = make_train_step(cfg, model, tx, img_size=96)
+    batch = _batch(4, 96)
+    losses = []
+    for _ in range(8):
+        ts, m = step(ts, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert float(m["num_pos"]) > 0
+
+
+def test_spmd_matches_single_device():
+    """One fused-SPMD step over 8 devices == single-device step on the
+    same global batch (both use per-shard BN over identical shard stats
+    when every image is identical)."""
+    cfg = _small_cfg()
+    model = YuNet(cfg.model)
+    b, img = 8, 96
+    batch = _batch(b, img, seed=3)
+    # identical images/gts in every batch row -> local BN == global BN
+    one = jax.tree.map(lambda x: jnp.broadcast_to(x[:1], x.shape), batch)
+
+    ts1, tx1 = init_train_state(cfg, steps_per_epoch=10, total_batch=b)
+    step1 = make_train_step(cfg, model, tx1, img_size=img)
+    out1, m1 = step1(ts1, one)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    ts8, tx8 = init_train_state(cfg, steps_per_epoch=10, total_batch=b)
+    step8 = make_train_step(cfg, model, tx8, img_size=img, mesh=mesh)
+    out8, m8 = step8(ts8, one)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["num_pos"]), float(m8["num_pos"]))
+    l1 = jax.tree_util.tree_leaves(out1.params)
+    l8 = jax.tree_util.tree_leaves(out8.params)
+    for a, c in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_lr_schedule_reference_recipe():
+    # lr 0.01, warmup 1500 iters ratio 1e-3, decay x0.1 at epochs 400/544
+    sched = lr_schedule(0.01, steps_per_epoch=100, warmup_iters=1500,
+                        warmup_ratio=0.001, decay_epochs=(400, 544),
+                        decay_factor=0.1)
+    np.testing.assert_allclose(float(sched(0)), 0.01 * 0.001, rtol=1e-4)
+    np.testing.assert_allclose(float(sched(750)), 0.01 * 0.5005, rtol=1e-4)
+    np.testing.assert_allclose(float(sched(1500)), 0.01, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(399 * 100)), 0.01, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(400 * 100)), 0.001, rtol=1e-4)
+    np.testing.assert_allclose(float(sched(544 * 100)), 0.0001, rtol=1e-4)
+    assert scale_lr(0.01, 128) == pytest.approx(0.04)
+
+
+def test_bn_stats_update_in_train():
+    cfg = _small_cfg()
+    model = YuNet(cfg.model)
+    ts, tx = init_train_state(cfg, steps_per_epoch=10, total_batch=2)
+    step = make_train_step(cfg, model, tx, img_size=96)
+    before = np.asarray(
+        ts.state["backbone"]["model0"]["bn1"]["mean"]).copy()
+    ts2, _ = step(ts, _batch(2, 96))
+    after = np.asarray(ts2.state["backbone"]["model0"]["bn1"]["mean"])
+    assert not np.allclose(before, after)

@@ -49,11 +49,10 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
         y = y + b.astype(y.dtype)
-    return y.astype(x.dtype)
+    return y
 
 
 def batch_norm(x: jnp.ndarray, p: Params, s: State, *, train: bool,

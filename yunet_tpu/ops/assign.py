@@ -1,0 +1,135 @@
+"""SimOTA label assignment under XLA static shapes.
+
+Re-derivation of the reference SimOTAAssigner
+(core/bbox/assigners/sim_ota_assigner.py:95-257) without any
+data-dependent shapes:
+
+  * boolean-index compaction of valid priors -> masking with tiered
+    infinities (INF for in-candidate-but-not-in-both, BIG for invalid
+    priors / padded GTs, so tie-breaking prefers the same priors the
+    reference would pick);
+  * the python loop over GTs doing per-GT topk -> one batched
+    ``lax.top_k`` of size candidate_topk per GT column plus a masked
+    scatter (dynamic_k <= candidate_topk because it is the truncated sum
+    of the top-10 IoUs);
+  * multi-match resolution keeps the reference's exact rule: a prior
+    matched to >1 GT is reassigned to the argmin-cost GT over *all*
+    columns (sim_ota_assigner.py:244-249).
+
+Shapes: P priors, G max GTs (padded; ``gt_valid`` marks real rows).
+Everything is a single fused XLA computation, vmap-able over the batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import pairwise_iou
+from .losses import bce_probs
+
+INF = 100000.0       # reference INF for candidates outside box&center
+BIG = 1e9            # tier above INF: invalid priors / padded GTs
+
+
+class AssignResult(NamedTuple):
+    fg_mask: jnp.ndarray        # (P,) bool — positive priors
+    matched_gt: jnp.ndarray     # (P,) int32 — index into GT rows (0 if bg)
+    matched_iou: jnp.ndarray    # (P,) f32 — IoU with the matched GT (0 if bg)
+
+
+def _in_box_deltas(px, py, boxes):
+    """min over (l, t, r, b) > 0 test, broadcast (P, G)."""
+    l = px[:, None] - boxes[None, :, 0]
+    t = py[:, None] - boxes[None, :, 1]
+    r = boxes[None, :, 2] - px[:, None]
+    b = boxes[None, :, 3] - py[:, None]
+    return jnp.minimum(jnp.minimum(l, t), jnp.minimum(r, b)) > 0
+
+
+@partial(jax.jit, static_argnames=("center_radius", "candidate_topk",
+                                   "iou_weight", "cls_weight"))
+def sim_ota_assign(pred_scores: jnp.ndarray, priors: jnp.ndarray,
+                   decoded_bboxes: jnp.ndarray, gt_bboxes: jnp.ndarray,
+                   gt_labels: jnp.ndarray, gt_valid: jnp.ndarray, *,
+                   center_radius: float = 2.5, candidate_topk: int = 10,
+                   iou_weight: float = 3.0, cls_weight: float = 1.0,
+                   eps: float = 1e-7) -> AssignResult:
+    """Single-image SimOTA.
+
+    Args:
+      pred_scores: (P, C) fused probabilities sigmoid(cls)*sigmoid(obj).
+      priors: (P, 4) [cx, cy, sw, sh] — already offset by +0.5*stride
+        (the head offsets priors for assignment only, yunet_head.py:570-577).
+      decoded_bboxes: (P, 4) xyxy.
+      gt_bboxes: (G, 4) xyxy, padded.
+      gt_labels: (G,) int32, padded.
+      gt_valid: (G,) bool.
+    """
+    p = priors.shape[0]
+    g = gt_bboxes.shape[0]
+    num_classes = pred_scores.shape[-1]
+    px, py = priors[:, 0], priors[:, 1]
+    sx, sy = priors[:, 2], priors[:, 3]
+
+    # --- candidate gating (get_in_gt_and_in_center_info, :186-228) --------
+    is_in_gts = _in_box_deltas(px, py, gt_bboxes) & gt_valid[None, :]
+    cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) * 0.5
+    cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) * 0.5
+    ct_boxes = jnp.stack([
+        cx[None, :] - center_radius * sx[:, None],
+        cy[None, :] - center_radius * sy[:, None],
+        cx[None, :] + center_radius * sx[:, None],
+        cy[None, :] + center_radius * sy[:, None]], axis=-1)  # (P, G, 4)
+    is_in_cts = (jnp.minimum(
+        jnp.minimum(px[:, None] - ct_boxes[..., 0],
+                    py[:, None] - ct_boxes[..., 1]),
+        jnp.minimum(ct_boxes[..., 2] - px[:, None],
+                    ct_boxes[..., 3] - py[:, None])) > 0) \
+        & gt_valid[None, :]
+    valid_prior = jnp.any(is_in_gts | is_in_cts, axis=1)  # (P,)
+    in_both = is_in_gts & is_in_cts                        # (P, G)
+
+    # --- costs (:151-169) --------------------------------------------------
+    ious = pairwise_iou(decoded_bboxes, gt_bboxes)         # (P, G)
+    ious = jnp.where(valid_prior[:, None] & gt_valid[None, :], ious, 0.0)
+    iou_cost = -jnp.log(ious + eps)
+
+    onehot = jax.nn.one_hot(gt_labels, num_classes, dtype=jnp.float32)
+    cls_cost = bce_probs(
+        jnp.sqrt(jnp.clip(pred_scores, 0.0, 1.0))[:, None, :],
+        onehot[None, :, :]).sum(-1)                        # (P, G)
+
+    cost = (cls_weight * cls_cost + iou_weight * iou_cost
+            + (~in_both).astype(jnp.float32) * INF)
+    cost = jnp.where(valid_prior[:, None], cost, BIG)
+    cost = jnp.where(gt_valid[None, :], cost, BIG)
+
+    # --- dynamic-k (:230-243) ----------------------------------------------
+    k_cap = min(candidate_topk, p)
+    topk_ious, _ = jax.lax.top_k(ious.T, k_cap)            # (G, k_cap)
+    dynamic_ks = jnp.clip(topk_ious.sum(-1).astype(jnp.int32), 1, None)
+    dynamic_ks = jnp.where(gt_valid, dynamic_ks, 0)        # (G,)
+
+    # per-GT smallest-cost candidates (ties -> lower prior index, like torch)
+    neg_cost, cand_idx = jax.lax.top_k(-cost.T, k_cap)     # (G, k_cap)
+    take = (jnp.arange(k_cap)[None, :] < dynamic_ks[:, None])  # (G, k_cap)
+    matching = jnp.zeros((g, p), bool).at[
+        jnp.arange(g)[:, None], cand_idx].set(take)
+    matching = matching.T                                   # (P, G)
+
+    # --- multi-match resolution (:244-249) ----------------------------------
+    multi = matching.sum(axis=1) > 1
+    best_gt = jnp.argmin(cost, axis=1)                      # over ALL columns
+    only_best = jax.nn.one_hot(best_gt, g, dtype=bool)
+    matching = jnp.where(multi[:, None], only_best, matching)
+
+    fg_mask = matching.any(axis=1) & valid_prior
+    matched_gt = jnp.argmax(matching, axis=1).astype(jnp.int32)
+    matched_iou = (matching * ious).sum(axis=1)
+    matched_gt = jnp.where(fg_mask, matched_gt, 0)
+    matched_iou = jnp.where(fg_mask, matched_iou, 0.0)
+    return AssignResult(fg_mask, matched_gt, matched_iou)

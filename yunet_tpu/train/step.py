@@ -1,0 +1,197 @@
+"""Fused training step: forward + SimOTA targets + losses + SGD update.
+
+One jitted SPMD program replaces the reference's Runner/OptimizerHook/DDP
+stack (apis/train.py:117-244, base.py:219-267):
+  - data parallelism = shard_map over the mesh 'dp' axis; gradient pmean
+    replaces NCCL bucket all-reduce;
+  - the loss normalizer num_total_samples = max(pmean(num_pos), 1) keeps
+    the reference's cross-replica reduce_mean semantics
+    (yunet_head.py:493-497);
+  - BatchNorm normalizes with *local* shard statistics (the reference's
+    per-GPU BN) while the running stats are pmean'd each step (a built-in
+    SyncNormHook, sync_norm_hook.py:11-52);
+  - losses in f32 regardless of trunk dtype (force_fp32 boundary,
+    yunet_head.py:418).
+
+Loss composition parity (yunet_head.py:418-534):
+  loss_cls  = sum BCE(cls_logits[fg], onehot*IoU) / N
+  loss_obj  = sum BCE(obj_logits, fg)             / N
+  loss_bbox = 5.0 * sum EIoU(decoded[fg], gt)     / N
+  loss_kps  = 0.1 * sum(SmoothL1(kps_pred[fg], encode(gt)) * w) / sum(w)
+  N = max(mean-over-replicas(num_pos), 1)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..models.detector import YuNet
+from ..ops.boxes import bbox_decode, kps_encode
+from ..ops.losses import bce_with_logits, eiou, smooth_l1
+from ..ops.priors import grid_priors
+from .targets import build_targets
+from .lr import lr_schedule, scale_lr
+
+
+class TrainState(NamedTuple):
+    params: Any
+    state: Any            # BN running stats
+    opt_state: Any
+    step: jnp.ndarray
+    ema_params: Any = None
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int, total_batch: int
+                   ) -> optax.GradientTransformation:
+    lr = scale_lr(cfg.train.lr, total_batch, cfg.train.base_total_batch)
+    sched = lr_schedule(
+        lr, steps_per_epoch=steps_per_epoch,
+        warmup_iters=cfg.train.warmup_iters,
+        warmup_ratio=cfg.train.warmup_ratio,
+        decay_epochs=cfg.train.lr_decay_epochs,
+        decay_factor=cfg.train.lr_decay_factor)
+    parts = []
+    if cfg.train.grad_clip > 0:
+        parts.append(optax.clip_by_global_norm(cfg.train.grad_clip))
+    parts += [
+        optax.add_decayed_weights(cfg.train.weight_decay),
+        optax.sgd(learning_rate=sched, momentum=cfg.train.momentum),
+    ]
+    return optax.chain(*parts)
+
+
+def init_train_state(cfg: Config, *, steps_per_epoch: int, total_batch: int,
+                     rng: Optional[jax.Array] = None,
+                     params=None, state=None) -> Tuple[TrainState, Any]:
+    model = YuNet(cfg.model)
+    if params is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
+        params, state = model.init(rng)
+    params = jax.tree.map(jnp.asarray, params)
+    state = jax.tree.map(jnp.asarray, state)
+    tx = make_optimizer(cfg, steps_per_epoch, total_batch)
+    opt_state = tx.init(params)
+    ema = params if cfg.train.ema_momentum > 0 else None
+    return TrainState(params, state, opt_state,
+                      jnp.zeros((), jnp.int32), ema), tx
+
+
+def loss_fn(model: YuNet, cfg: Config, params, state,
+            batch: Dict[str, jnp.ndarray], priors: jnp.ndarray,
+            axis_name: Optional[str] = None):
+    """Returns (total_loss, (new_state, metrics))."""
+    images = batch["image"]
+    if cfg.train.bf16:
+        images = images.astype(jnp.bfloat16)
+    flat, new_state = model.forward_flat(params, state, images, train=True)
+    cls_l = flat["cls"].astype(jnp.float32)       # (B, P, C)
+    obj_l = flat["obj"][..., 0].astype(jnp.float32)  # (B, P)
+    bbox_p = flat["bbox"].astype(jnp.float32)     # (B, P, 4)
+    kps_p = flat["kps"].astype(jnp.float32)       # (B, P, 2K)
+
+    decoded = bbox_decode(priors, bbox_p)         # (B, P, 4)
+
+    tgt = jax.vmap(functools.partial(
+        build_targets,
+        num_classes=cfg.model.num_classes, kps_num=cfg.model.kps_num,
+        center_radius=cfg.assigner.center_radius,
+        candidate_topk=cfg.assigner.candidate_topk,
+        iou_weight=cfg.assigner.iou_weight,
+        cls_weight=cfg.assigner.cls_weight,
+    ))(jax.lax.stop_gradient(cls_l), jax.lax.stop_gradient(obj_l),
+       jnp.broadcast_to(priors, (images.shape[0],) + priors.shape),
+       jax.lax.stop_gradient(decoded),
+       batch["gt_bboxes"], batch["gt_labels"], batch["gt_kps"],
+       batch["gt_valid"])
+    tgt = jax.lax.stop_gradient(tgt)
+
+    local_pos = tgt["num_pos"].sum()
+    if axis_name is not None:
+        # reference normalizer: mean over replicas of per-replica pos counts
+        # (reduce_mean at yunet_head.py:493-497)
+        num_pos = jax.lax.pmean(local_pos, axis_name)
+        global_pos = jax.lax.psum(local_pos, axis_name)
+    else:
+        num_pos = local_pos
+        global_pos = local_pos
+    n = jnp.maximum(num_pos, 1.0)
+
+    fg = tgt["fg"].astype(jnp.float32)            # (B, P)
+    loss_cls = (bce_with_logits(cls_l, tgt["cls"]).sum(-1) * fg).sum() / n
+    loss_obj = bce_with_logits(obj_l, tgt["obj"]).sum() / n
+    loss_bbox = (eiou(decoded, tgt["bbox"],
+                      smooth_point=cfg.loss.eiou_smooth_point,
+                      eps=cfg.loss.eiou_eps) * fg).sum() / n
+
+    enc_kps = kps_encode(priors, tgt["kps"])      # (B, P, 2K)
+    kw = tgt["kps_weight"]                        # (B, P)
+    loss_kps = (smooth_l1(kps_p, enc_kps, cfg.loss.kps_beta)
+                * kw[..., None]).sum() / jnp.maximum(kw.sum(), 1e-6)
+
+    total = (cfg.loss.cls_weight * loss_cls
+             + cfg.loss.obj_weight * loss_obj
+             + cfg.loss.bbox_weight * loss_bbox
+             + cfg.loss.kps_weight * loss_kps)
+    metrics = {"loss": total, "loss_cls": loss_cls, "loss_obj": loss_obj,
+               "loss_bbox": cfg.loss.bbox_weight * loss_bbox,
+               "loss_kps": cfg.loss.kps_weight * loss_kps,
+               "num_pos": global_pos}
+    return total, (new_state, metrics)
+
+
+def make_train_step(cfg: Config, model: YuNet, tx, *, img_size: int,
+                    mesh: Optional[jax.sharding.Mesh] = None
+                    ) -> Callable[[TrainState, Dict[str, jnp.ndarray]],
+                                  Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted train step. With a mesh, runs SPMD over the 'dp'
+    axis via shard_map (batch sharded, params/opt replicated)."""
+    sizes = [(img_size // s, img_size // s) for s in cfg.model.strides]
+    priors = jnp.asarray(grid_priors(sizes, cfg.model.strides,
+                                     cfg.model.prior_offset))
+    axis = "dp" if mesh is not None else None
+
+    def _step(ts: TrainState, batch):
+        grads, (new_state, metrics) = jax.grad(
+            lambda p: loss_fn(model, cfg, p, ts.state, batch, priors,
+                              axis_name=axis), has_aux=True)(ts.params)
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            new_state = jax.lax.pmean(new_state, axis)
+            metrics = jax.lax.pmean(metrics, axis)
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        ema = ts.ema_params
+        if ema is not None:
+            m = cfg.train.ema_momentum
+            ema = jax.tree.map(lambda e, p: e * (1 - m) + p * m,
+                               ema, new_params)
+        return TrainState(new_params, new_state, new_opt, ts.step + 1,
+                          ema), metrics
+
+    if mesh is None:
+        return jax.jit(_step, donate_argnums=(0,))
+
+    from jax.sharding import PartitionSpec as P
+    replicated = P()
+    batch_spec = P("dp")
+
+    ts_spec = TrainState(
+        params=replicated, state=replicated, opt_state=replicated,
+        step=replicated, ema_params=replicated)
+    data_spec = {"image": batch_spec, "gt_bboxes": batch_spec,
+                 "gt_labels": batch_spec, "gt_kps": batch_spec,
+                 "gt_valid": batch_spec}
+
+    sharded = jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(ts_spec, data_spec),
+        out_specs=(ts_spec, replicated),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,))

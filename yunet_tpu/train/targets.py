@@ -1,0 +1,65 @@
+"""Per-image training targets from SimOTA assignment, fixed shapes.
+
+Re-derivation of YuNet_Head._get_target_single (yunet_head.py:536-604):
+  - priors are offset by +0.5*stride for assignment only (:570-577)
+  - cls target = one-hot(label) * matched IoU (soft label, :587-588)
+  - obj target = binary fg mask over all priors (:590-591)
+  - bbox target = matched GT box; kps target = matched GT keypoints,
+    weighted by mean per-face keypoint visibility (:595-600)
+
+Instead of gathering positives into compacted rows, every target keeps the
+(P, ...) prior-aligned shape with an fg mask — the reduction weights in the
+loss make the masked entries free.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.assign import sim_ota_assign
+from ..ops.boxes import fuse_score
+
+
+def build_targets(cls_logits: jnp.ndarray, obj_logits: jnp.ndarray,
+                  priors: jnp.ndarray, decoded_bboxes: jnp.ndarray,
+                  gt_bboxes: jnp.ndarray, gt_labels: jnp.ndarray,
+                  gt_kps: jnp.ndarray, gt_valid: jnp.ndarray, *,
+                  num_classes: int, kps_num: int, center_radius: float,
+                  candidate_topk: int, iou_weight: float,
+                  cls_weight: float) -> Dict[str, jnp.ndarray]:
+    """Single image. cls_logits (P, C); obj_logits (P,); priors (P, 4);
+    decoded_bboxes (P, 4); gt_bboxes (G, 4); gt_labels (G,);
+    gt_kps (G, K, 3); gt_valid (G,) bool. All f32 inputs are treated as
+    constants for assignment (targets are stop-gradiented downstream).
+    """
+    scores = fuse_score(cls_logits, obj_logits[:, None])
+    offset_priors = jnp.concatenate(
+        [priors[:, :2] + priors[:, 2:] * 0.5, priors[:, 2:]], axis=-1)
+    res = sim_ota_assign(
+        scores, offset_priors, decoded_bboxes, gt_bboxes, gt_labels,
+        gt_valid, center_radius=center_radius,
+        candidate_topk=candidate_topk, iou_weight=iou_weight,
+        cls_weight=cls_weight)
+
+    fg = res.fg_mask
+    onehot = jax.nn.one_hot(gt_labels[res.matched_gt], num_classes,
+                            dtype=jnp.float32)
+    cls_target = onehot * res.matched_iou[:, None]          # (P, C)
+    obj_target = fg.astype(jnp.float32)                     # (P,)
+    bbox_target = gt_bboxes[res.matched_gt]                 # (P, 4)
+    kps_xy = gt_kps[res.matched_gt, :, :2].reshape(-1, kps_num * 2)
+    kps_weight = jnp.mean(gt_kps[res.matched_gt, :, 2], axis=-1)  # (P,)
+    kps_weight = jnp.where(fg, kps_weight, 0.0)
+
+    return {
+        "fg": fg,
+        "cls": cls_target,
+        "obj": obj_target,
+        "bbox": bbox_target,
+        "kps": kps_xy,
+        "kps_weight": kps_weight,
+        "num_pos": fg.sum().astype(jnp.float32),
+    }
