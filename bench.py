@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end detect throughput at 320x320 on one TPU chip.
+
+Baseline: the reference README's headline inference number — 456 FPS for
+YuNet-n at 320x320 through ONNXRuntime on an i7-12700K CPU
+(README.md:140-147, harness tools/compare_inference.py). The measured path
+here is the same work: full forward + score fusion + decode + NMS, batch 1,
+on one TPU chip, with pipelined dispatch (queue depth amortizes the host
+round-trip the way any serving loop would).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FPS = 456.0  # reference README.md:146 (i7-12700K, ORT, 320x320)
+REF_PTH = "/root/reference/weights/yunet_n.pth"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.eval.detect import Detector
+    from yunet_tpu.models import YuNet
+
+    cfg = yunet_n()
+    model = YuNet(cfg.model)
+    if os.path.exists(REF_PTH):
+        from yunet_tpu.utils import load_pth_params
+        params, state = load_pth_params(REF_PTH)
+    else:
+        params, state = model.init(jax.random.PRNGKey(0))
+
+    det = Detector(cfg, params, state, bf16=True)
+    fn = det._nms_fn(320, 320, 512)
+    params_d = det.params
+    state_d = det.state
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 256, (1, 320, 320, 3))
+                    .astype(np.float32))
+
+    # warmup / compile
+    out = fn(params_d, state_d, x)
+    jax.block_until_ready(out)
+
+    # NOTE: any intermediate block_until_ready flushes the dispatch
+    # pipeline (on tunneled devices that costs a ~30ms round-trip), so the
+    # serving-loop throughput is measured as N async dispatches + one final
+    # barrier — the standard JAX microbenchmark shape.
+    iters = 300
+    out = None
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params_d, state_d, x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+
+    print(json.dumps({
+        "metric": "detect_fps_320x320_yunet_n",
+        "value": round(fps, 2),
+        "unit": "img/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

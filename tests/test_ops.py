@@ -73,8 +73,8 @@ def test_nms_device_matches_native(seed):
                                              -1), iou_thr)
     keep_native = [i for i in keep_native if scores[i] >= score_thr]
 
-    dets, keep = device_nms(jnp.asarray(boxes), jnp.asarray(scores),
-                            top_k=n, iou_thr=iou_thr, score_thr=score_thr)
+    dets, keep, _ = device_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                               top_k=n, iou_thr=iou_thr, score_thr=score_thr)
     dets, keep = np.asarray(dets), np.asarray(keep)
     got = dets[keep]
     want_boxes = boxes[keep_native]
@@ -82,6 +82,23 @@ def test_nms_device_matches_native(seed):
     assert got.shape[0] == len(keep_native)
     np.testing.assert_allclose(got[:, :4], want_boxes, rtol=1e-5)
     np.testing.assert_allclose(got[:, 4], want_scores, rtol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_pallas_nms_matches_device_nms(seed):
+    """Pallas kernel (interpret mode on CPU) == lax fori_loop NMS."""
+    from yunet_tpu.ops.nms_pallas import pallas_nms
+    n = 300
+    boxes = jnp.asarray(_random_boxes(n, seed))
+    scores = jnp.asarray(np.random.RandomState(seed + 20).uniform(
+        0, 1, n).astype(np.float32))
+    d1, k1, i1 = device_nms(boxes, scores, top_k=256, iou_thr=0.45,
+                            score_thr=0.02)
+    d2, k2, i2 = pallas_nms(boxes, scores, top_k=256, iou_thr=0.45,
+                            score_thr=0.02)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
 
 
 def test_native_nms_matches_numpy_fallback():

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Train YuNet on WIDER Face — TPU-native entry point.
+
+Mirrors the surface of the reference tools/train.py (config selection,
+--cfg-options dotted overrides, work-dir, resume/auto-resume, seed), but
+launches a single SPMD program over the local device mesh instead of
+torch.distributed process groups: run once per host, `jax.distributed`
+handles multi-host.
+
+Examples:
+  python tools/train.py yunet_n
+  python tools/train.py yunet_s --work-dir work_dirs/s --auto-resume
+  python tools/train.py yunet_n --cfg-options train.lr=0.02 data.workers=8
+  python tools/train.py yunet_n --smoke   # synthetic 20-step dry run
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a YuNet face detector")
+    p.add_argument("config", help="preset name (yunet_n | yunet_s) or path "
+                   "to a python file defining get()")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--auto-resume", action="store_true")
+    p.add_argument("--load-pth", default=None,
+                   help="initialize weights from a reference .pth")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--single-device", action="store_true",
+                   help="no mesh even with multiple devices")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host)")
+    p.add_argument("--smoke", action="store_true",
+                   help="20 steps on synthetic data (no dataset needed)")
+    p.add_argument("--cfg-options", nargs="*", default=[],
+                   help="dotted config overrides, e.g. train.lr=0.02")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from yunet_tpu.config import apply_overrides, get_config
+    from yunet_tpu.train.loop import fit
+
+    cfg = get_config(args.config)
+    cfg = apply_overrides(cfg, args.cfg_options)
+    if args.seed is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, seed=args.seed))
+
+    devices = jax.devices()
+    mesh = None
+    if len(devices) > 1 and not args.single_device:
+        mesh = Mesh(np.array(devices), ("dp",))
+
+    loader = None
+    max_steps = args.max_steps
+    if args.smoke:
+        from smoke_data import SyntheticLoader  # noqa: local import
+        n_dev = mesh.size if mesh is not None else 1
+        loader = SyntheticLoader(cfg, batch_size=cfg.data.samples_per_device
+                                 * n_dev)
+        max_steps = max_steps or 20
+
+    fit(cfg, work_dir=args.work_dir, resume_from=args.resume_from,
+        auto_resume=args.auto_resume, load_pth=args.load_pth,
+        max_steps=max_steps, mesh=mesh, loader=loader)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,3 +20,26 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def enable_compilation_cache(path: str = None) -> None:
+    """Persistent XLA compilation cache — first compiles of the conv trunk
+    through the remote-compile tunnel cost minutes; cached recompiles are
+    instant. Called automatically on import (YUNET_TPU_NO_CACHE=1 opts out).
+    """
+    import jax
+
+    path = path or _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "..", ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          _os.path.abspath(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+if not _os.environ.get("YUNET_TPU_NO_CACHE"):
+    enable_compilation_cache()

@@ -1,0 +1,97 @@
+"""WIDER Face training dataset: load -> augment -> fixed-shape sample.
+
+Replaces the reference's RetinaFaceDataset + pipeline + DataContainer
+collate (datasets/retinaface.py, datasets/builder.py:80-230): instead of
+dynamic per-image tensors batched through DataContainers, every sample is
+padded to a static ``max_gts`` so batches are plain stacked arrays that jit
+can consume without recompilation.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .labelv2 import NK, Record, parse_labelv2
+from .transforms import (horizontal_flip, random_square_crop,
+                         resize_with_targets)
+
+
+@dataclass
+class SampleSpec:
+    img_size: int = 640
+    max_gts: int = 128
+    crop_choice: Sequence[float] = (0.5, 0.7, 0.9, 1.1, 1.3, 1.5)
+    flip_ratio: float = 0.5
+
+
+class WiderFaceDataset:
+    def __init__(self, ann_file: str, img_prefix: str, spec: SampleSpec,
+                 *, min_size: Optional[float] = None,
+                 test_mode: bool = False):
+        self.records: List[Record] = parse_labelv2(
+            ann_file, min_size=min_size, test_mode=test_mode)
+        self.img_prefix = img_prefix
+        self.spec = spec
+        self.test_mode = test_mode
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def load_image(self, rec: Record) -> np.ndarray:
+        import cv2
+
+        path = os.path.join(self.img_prefix, rec.filename)
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img
+
+    def get_train_sample(self, idx: int,
+                         rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+        rec = self.records[idx]
+        img = self.load_image(rec).astype(np.float32)
+        boxes, kps, ign = rec.bboxes, rec.kps, rec.bboxes_ignore
+        img, boxes, kps, ign = random_square_crop(
+            img, boxes, kps, ign, self.spec.crop_choice, rng)
+        img, boxes, kps, ign = resize_with_targets(
+            img, boxes, kps, ign,
+            (self.spec.img_size, self.spec.img_size))
+        if rng.uniform() < self.spec.flip_ratio:
+            img, boxes, kps, ign = horizontal_flip(img, boxes, kps, ign)
+        return pack_sample(img, boxes, kps, self.spec.max_gts)
+
+
+def pack_sample(img: np.ndarray, boxes: np.ndarray, kps: np.ndarray,
+                max_gts: int) -> Dict[str, np.ndarray]:
+    """Pad GT arrays to a static size. Overflow keeps the largest faces
+    (the dropped tail is tiny crowd boxes; count is reported so training
+    can monitor truncation)."""
+    n = boxes.shape[0]
+    if n > max_gts:
+        area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        keep = np.argsort(-area, kind="stable")[:max_gts]
+        boxes, kps = boxes[keep], kps[keep]
+        overflow = n - max_gts
+        n = max_gts
+    else:
+        overflow = 0
+    out_boxes = np.zeros((max_gts, 4), np.float32)
+    out_kps = np.zeros((max_gts, NK, 3), np.float32)
+    out_boxes[:n] = boxes
+    out_kps[:n] = kps
+    return {
+        "image": np.ascontiguousarray(img, np.float32),
+        "gt_bboxes": out_boxes,
+        "gt_labels": np.zeros((max_gts,), np.int32),
+        "gt_kps": out_kps,
+        "gt_valid": (np.arange(max_gts) < n),
+        "num_overflow": np.int32(overflow),
+    }
+
+
+def pack_batch(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}

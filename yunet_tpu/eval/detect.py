@@ -1,0 +1,184 @@
+"""Inference pipeline: preprocess -> jit forward+decode -> NMS -> rescale.
+
+Covers the roles of the reference's simple_test stack
+(detectors/yunet.py:53-80, yunet_head.py:291-416) and the detect CLI
+preprocessing (tools/detect_image.py:99-132):
+
+  * `resize_img` modes ORIGIN / AUTO (zero-pad H,W up to the next multiple
+    of 32) / fixed "W,H" canvases with aspect-preserving resize;
+  * one jitted program per padded input shape (shape-bucketed cache — the
+    TPU answer to origin-size eval without per-image recompiles);
+  * score fusion sigmoid(cls)*sigmoid(obj), decode, then either on-device
+    fixed-K NMS (fast path) or exact host NMS via the native C++ kernel
+    (AP-parity path, uncapped like the reference's max_per_img=-1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.detector import YuNet
+from ..ops.boxes import bbox_decode, kps_decode
+from ..ops.nms_pallas import pallas_nms
+from ..ops.priors import grid_priors
+from .. import native
+
+
+def resize_img(img: np.ndarray, mode: Union[str, Tuple[int, int]]
+               ) -> Tuple[np.ndarray, float]:
+    """Reference tools/detect_image.py:99-132 preprocessing modes."""
+    import cv2
+
+    if mode == "ORIGIN":
+        det_img, det_scale = img, 1.0
+        h = -(-img.shape[0] // 32) * 32
+        w = -(-img.shape[1] // 32) * 32
+        if (h, w) != img.shape[:2]:
+            padded = np.zeros((h, w, 3), dtype=img.dtype)
+            padded[:img.shape[0], :img.shape[1]] = img
+            det_img = padded
+        return det_img, det_scale
+    if mode == "AUTO":
+        h = ((img.shape[0] - 1) & (-32)) + 32
+        w = ((img.shape[1] - 1) & (-32)) + 32
+        det_img = np.zeros((h, w, 3), dtype=img.dtype)
+        det_img[:img.shape[0], :img.shape[1]] = img
+        return det_img, 1.0
+    if mode == "VGA":
+        input_size = (640, 480)
+    elif isinstance(mode, str):
+        input_size = tuple(int(v) for v in mode.split(","))
+    else:
+        input_size = tuple(mode)
+    x, y = max(input_size), min(input_size)
+    input_size = (x, y) if img.shape[1] > img.shape[0] else (y, x)
+    im_ratio = img.shape[0] / img.shape[1]
+    model_ratio = input_size[1] / input_size[0]
+    if im_ratio > model_ratio:
+        new_h = input_size[1]
+        new_w = int(new_h / im_ratio)
+    else:
+        new_w = input_size[0]
+        new_h = int(new_w * im_ratio)
+    det_scale = new_h / img.shape[0]
+    resized = cv2.resize(img, (new_w, new_h))
+    det_img = np.zeros((input_size[1], input_size[0], 3), dtype=img.dtype)
+    det_img[:new_h, :new_w] = resized
+    return det_img, det_scale
+
+
+class Detector:
+    """Stateful inference wrapper with a per-shape compiled-program cache."""
+
+    def __init__(self, cfg: Config, params, state, *,
+                 bf16: bool = True):
+        self.cfg = cfg
+        self.model = YuNet(cfg.model)
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.state = jax.tree.map(jnp.asarray, state)
+        self.bf16 = bf16
+        self._raw_cache: Dict[Tuple[int, int], object] = {}
+        self._nms_cache: Dict[Tuple[int, int, int], object] = {}
+
+    # -- jitted programs ----------------------------------------------------
+    def _raw_fn(self, h: int, w: int):
+        """(1,H,W,3) -> (scores (P,), boxes (P,4), kps (P,2K)) f32."""
+        if (h, w) in self._raw_cache:
+            return self._raw_cache[(h, w)]
+        sizes = self.model.featmap_sizes(h, w)
+        priors = jnp.asarray(grid_priors(sizes, self.cfg.model.strides,
+                                         self.cfg.model.prior_offset))
+
+        @jax.jit
+        def fn(params, state, x):
+            if self.bf16:
+                x = x.astype(jnp.bfloat16)
+            flat, _ = self.model.forward_flat(params, state, x, train=False)
+            cls = flat["cls"][0].astype(jnp.float32)
+            obj = flat["obj"][0, :, 0].astype(jnp.float32)
+            scores = (jax.nn.sigmoid(cls[:, 0]) * jax.nn.sigmoid(obj))
+            boxes = bbox_decode(priors, flat["bbox"][0].astype(jnp.float32))
+            kps = kps_decode(priors, flat["kps"][0].astype(jnp.float32))
+            return scores, boxes, kps
+
+        self._raw_cache[(h, w)] = fn
+        return fn
+
+    def _nms_fn(self, h: int, w: int, top_k: int):
+        key = (h, w, top_k)
+        if key in self._nms_cache:
+            return self._nms_cache[key]
+        raw = self._raw_fn(h, w)
+
+        @jax.jit
+        def fn(params, state, x):
+            scores, boxes, kps = raw(params, state, x)
+            dets, keep, idx = pallas_nms(
+                boxes, scores, top_k=top_k,
+                iou_thr=self.cfg.test.nms_iou_thr,
+                score_thr=self.cfg.test.score_thr)
+            return dets, keep, kps[idx]
+
+        self._nms_cache[key] = fn
+        return fn
+
+    # -- public API ----------------------------------------------------------
+    def detect(self, img_bgr: np.ndarray,
+               mode: Union[str, Tuple[int, int]] = "AUTO", *,
+               score_thr: Optional[float] = None,
+               use_device_nms: bool = False,
+               max_dets: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Detect faces in one BGR uint8/float image.
+
+        Returns dict: bboxes (n,5) [x1 y1 x2 y2 score] in original image
+        coords (score-desc), kps (n, 2K), labels (n,).
+        """
+        score_thr = (self.cfg.test.score_thr if score_thr is None
+                     else score_thr)
+        det_img, det_scale = resize_img(img_bgr, mode)
+        x = jnp.asarray(det_img[None].astype(np.float32))
+        h, w = det_img.shape[:2]
+
+        if use_device_nms:
+            top_k = max_dets or self.cfg.test.device_nms_pre
+            fn = self._nms_fn(h, w, top_k)
+            dets, keep, kps_sorted = fn(self.params, self.state, x)
+            dets, keep = np.asarray(dets), np.asarray(keep)
+            sel = dets[keep]
+            kps_sel = np.asarray(kps_sorted)[keep]
+        else:
+            scores, boxes, kps = self._raw_fn(h, w)(
+                self.params, self.state, x)
+            scores = np.asarray(scores)
+            boxes = np.asarray(boxes)
+            kps = np.asarray(kps)
+            valid = scores >= score_thr
+            boxes_v, scores_v, kps_v = (boxes[valid], scores[valid],
+                                        kps[valid])
+            keep_idx = native.nms(boxes_v, scores_v,
+                                  self.cfg.test.nms_iou_thr)
+            if max_dets is not None and max_dets > 0:
+                keep_idx = keep_idx[:max_dets]
+            sel = np.concatenate(
+                [boxes_v[keep_idx], scores_v[keep_idx, None]], axis=-1)
+            kps_sel = kps_v[keep_idx]
+
+        if det_scale != 1.0:
+            sel = sel.copy()
+            sel[:, :4] /= det_scale
+            kps_sel = kps_sel / det_scale
+        return {
+            "bboxes": sel.astype(np.float32),
+            "kps": kps_sel.astype(np.float32),
+            "labels": np.zeros((sel.shape[0],), np.int64),
+        }
+
+    def warmup(self, shapes):
+        for (h, w) in shapes:
+            self.detect(np.zeros((h, w, 3), np.uint8), mode="AUTO")

@@ -32,6 +32,7 @@ def device_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *, top_k: int,
     Returns:
       dets: (top_k, 5) [x1 y1 x2 y2 score], score-desc ordering.
       keep: (top_k,) bool — True for surviving, above-threshold boxes.
+      idx:  (top_k,) int32 — original indices of the sorted candidates.
     """
     p = scores.shape[0]
     k = min(top_k, p)
@@ -65,4 +66,4 @@ def device_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *, top_k: int,
     _, kept = jax.lax.fori_loop(0, k, body, (suppressed0, kept0))
     kept = kept & (top_scores >= score_thr)
     dets = jnp.concatenate([top_boxes, top_scores[:, None]], axis=-1)
-    return dets, kept
+    return dets, kept, idx

@@ -1,0 +1,128 @@
+"""Training runtime: an explicit loop replacing the mmcv EpochBasedRunner +
+hook registry (reference apis/train.py:117-244).
+
+Responsibilities mapped from the reference hooks:
+  - LrUpdater / OptimizerHook  -> fused into the jitted train step
+  - CheckpointHook (interval epochs) + latest pointer / auto-resume
+  - TextLogger/TensorboardLogger every N iters (+ images/sec/chip meter)
+  - CheckInvalidLossHook       -> finite-loss guard
+  - DistSamplerSeedHook        -> epoch-seeded shuffling in TrainLoader
+  - SyncNormHook               -> BN running stats pmean'd inside the step
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.dataset import SampleSpec
+from ..data.loader import TrainLoader, device_prefetch
+from ..models.detector import YuNet
+from ..utils.logging import MetricsLogger, get_logger
+from .checkpoint import find_latest_checkpoint, load_checkpoint, \
+    save_checkpoint
+from .step import init_train_state, make_train_step
+
+
+def fit(cfg: Config, *, work_dir: Optional[str] = None,
+        resume_from: Optional[str] = None, auto_resume: bool = False,
+        load_pth: Optional[str] = None, max_steps: Optional[int] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        loader: Optional[TrainLoader] = None):
+    """Run training. Returns the final TrainState."""
+    work_dir = work_dir or cfg.work_dir
+    logger = get_logger(f"{work_dir}/train.log")
+    metrics_log = MetricsLogger(work_dir)
+    n_dev = mesh.size if mesh is not None else 1
+
+    if loader is None:
+        spec = SampleSpec(img_size=cfg.data.img_size,
+                          max_gts=cfg.data.max_gts,
+                          crop_choice=cfg.data.crop_choice,
+                          flip_ratio=cfg.data.flip_ratio)
+        loader = TrainLoader(
+            cfg.data.train_ann, cfg.data.train_img_prefix,
+            batch_size=cfg.data.samples_per_device * n_dev,
+            spec=spec, num_workers=cfg.data.workers, seed=cfg.train.seed,
+            min_size=cfg.data.min_size,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+    steps_per_epoch = loader.steps_per_epoch
+    total_batch = cfg.data.samples_per_device * n_dev * jax.process_count()
+
+    init_params = init_state = None
+    if load_pth:
+        from ..utils.torch_import import load_pth_params
+        init_params, init_state = load_pth_params(
+            load_pth, shared_stacked_convs=cfg.model.shared_stacked_convs)
+        logger.info(f"initialized weights from {load_pth}")
+
+    ts, tx = init_train_state(cfg, steps_per_epoch=steps_per_epoch,
+                              total_batch=total_batch,
+                              params=init_params, state=init_state)
+    if resume_from is None and auto_resume:
+        resume_from = find_latest_checkpoint(work_dir)
+    if resume_from:
+        ts, meta = load_checkpoint(resume_from, ts)
+        logger.info(f"resumed from {resume_from} at step {int(ts.step)}")
+
+    model = YuNet(cfg.model)
+    step_fn = make_train_step(cfg, model, tx, img_size=cfg.data.img_size,
+                              mesh=mesh)
+    total_steps = (max_steps if max_steps is not None
+                   else cfg.train.max_epochs * steps_per_epoch)
+    logger.info(
+        f"training {cfg.model.name}: {steps_per_epoch} steps/epoch, "
+        f"{total_steps} total steps, global batch {total_batch}, "
+        f"{n_dev} devices")
+
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P("dp"))
+
+    it = device_prefetch(iter(loader), sharding=sharding)
+    t_last = time.time()
+    imgs_since = 0
+    start_step = int(ts.step)
+    for i in range(start_step, total_steps):
+        batch = next(it)
+        batch.pop("num_overflow", None)
+        ts, m = step_fn(ts, batch)
+        imgs_since += total_batch
+        step = i + 1
+        if step % cfg.train.log_interval == 0 or step == total_steps:
+            m = jax.device_get(m)
+            loss = float(m["loss"])
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite loss {loss} at step {step}")
+            dt = time.time() - t_last
+            ips = imgs_since / max(dt, 1e-9)
+            epoch = step // steps_per_epoch
+            logger.info(
+                f"epoch {epoch} step {step}/{total_steps} "
+                f"loss {loss:.4f} (cls {float(m['loss_cls']):.4f} "
+                f"bbox {float(m['loss_bbox']):.4f} "
+                f"obj {float(m['loss_obj']):.4f} "
+                f"kps {float(m['loss_kps']):.4f}) "
+                f"num_pos {float(m['num_pos']):.0f} "
+                f"imgs/s {ips:.1f} ({ips / max(n_dev, 1):.1f}/chip)")
+            metrics_log.log(step, {**{k: float(v) for k, v in m.items()},
+                                   "imgs_per_sec": ips}, prefix="train")
+            t_last = time.time()
+            imgs_since = 0
+        if (step % (cfg.train.checkpoint_interval * steps_per_epoch) == 0
+                or step == total_steps):
+            if jax.process_index() == 0:
+                path = save_checkpoint(
+                    work_dir, ts, epoch=step // steps_per_epoch,
+                    meta={"config": cfg.model.name})
+                logger.info(f"saved checkpoint {path}")
+    loader.close()
+    metrics_log.close()
+    return ts
