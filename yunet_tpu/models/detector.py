@@ -85,7 +85,10 @@ class YuNet:
 
     @property
     def num_params(self) -> int:
-        key = jax.random.PRNGKey(0)
-        p, _ = jax.eval_shape(lambda k: self.init(k), key)
-        return sum(int(jnp.prod(jnp.array(l.shape)))
+        # fully abstract (eval_shape) so no device backend is initialized —
+        # export tools call this and must not pay TPU-claim latency
+        key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        p, _ = jax.eval_shape(self.init, key_spec)
+        import math
+        return sum(math.prod(l.shape)
                    for l in jax.tree_util.tree_leaves(p))
