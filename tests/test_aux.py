@@ -1,0 +1,127 @@
+"""Auxiliary subsystem tests: EMA, hooks, config overrides, flops, apis,
+checkpointing, parallel helpers."""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yunet_tpu.config import apply_overrides, yunet_n, yunet_s
+from yunet_tpu.train.ema import exp_momentum, linear_momentum, ema_update
+from yunet_tpu.train.hooks import SampleSizeStatistics, MemoryProfiler
+from yunet_tpu.utils.flops import count_macs
+from yunet_tpu.utils.env import collect_env
+
+
+def test_exp_momentum_warmup():
+    f = exp_momentum(0.0002, total_iter=2000)
+    # early: close to 1 (fast copy); late: ~m0
+    assert float(f(0)) > 0.99
+    assert abs(float(f(100000)) - 0.0002) < 1e-6
+    g = linear_momentum(0.9, warm_up=100)
+    assert float(g(0)) == pytest.approx(0.01, abs=1e-6)
+
+
+def test_ema_update_tree():
+    ema = {"a": jnp.zeros(3)}
+    p = {"a": jnp.ones(3)}
+    out = ema_update(ema, p, 0.25)
+    np.testing.assert_allclose(np.asarray(out["a"]), 0.25)
+
+
+def test_config_overrides():
+    cfg = apply_overrides(yunet_n(), ["train.lr=0.02",
+                                      "data.max_gts=64",
+                                      "test.score_thr=0.5",
+                                      "model.strides=[8,16,32]"])
+    assert cfg.train.lr == 0.02
+    assert cfg.data.max_gts == 64
+    assert cfg.test.score_thr == 0.5
+    assert cfg.model.strides == (8, 16, 32)
+    with pytest.raises(KeyError):
+        apply_overrides(cfg, ["nope.x=1"])
+
+
+def test_macs_match_reference_table():
+    # README.md:146-147 — 149 / 96 MFLOPs @320 (mmcv counter, ~1.5% slack)
+    assert count_macs(yunet_n().model) / 1e6 == pytest.approx(149, rel=0.02)
+    assert count_macs(yunet_s().model) / 1e6 == pytest.approx(96, rel=0.02)
+
+
+def test_sample_size_statistics():
+    s = SampleSizeStatistics()
+    batch = {
+        "gt_bboxes": np.asarray([[[0, 0, 10, 10], [0, 0, 100, 100]]],
+                                np.float32),
+        "gt_valid": np.asarray([[True, True]]),
+    }
+    s.update(batch)
+    assert s.total == 2
+    assert s.summary()["8-16"] == 1
+    assert s.summary()["64-128"] == 1
+
+
+def test_memory_profiler():
+    assert MemoryProfiler.rss_mb() > 1.0
+
+
+def test_collect_env_keys():
+    info = collect_env()
+    assert "JAX" in info and "devices" in info
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from yunet_tpu.train import init_train_state
+    from yunet_tpu.train.checkpoint import (find_latest_checkpoint,
+                                            load_checkpoint,
+                                            save_checkpoint)
+    cfg = yunet_n()
+    ts, _ = init_train_state(cfg, steps_per_epoch=10, total_batch=4)
+    ts = ts._replace(step=jnp.asarray(42, jnp.int32))
+    path = save_checkpoint(str(tmp_path), ts, epoch=7)
+    assert find_latest_checkpoint(str(tmp_path)) == path
+
+    ts2, _ = init_train_state(cfg, steps_per_epoch=10, total_batch=4)
+    ts2, meta = load_checkpoint(path, ts2)
+    assert int(ts2.step) == 42
+    assert meta["epoch"] == 7
+    a = jax.tree_util.tree_leaves(ts.params)
+    b = jax.tree_util.tree_leaves(ts2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_parallel_helpers():
+    from yunet_tpu.parallel import make_mesh, shard_batch
+    mesh = make_mesh(8)
+    assert mesh is not None and mesh.size == 8
+    batch = {"x": np.zeros((16, 4), np.float32)}
+    out = shard_batch(batch, mesh)
+    assert out["x"].sharding.spec == jax.sharding.PartitionSpec("dp")
+    assert make_mesh(1) is None
+
+
+def test_apis_init_and_inference(yunet_n_pth):
+    from yunet_tpu.apis import inference_detector, init_detector
+    det = init_detector("yunet_n", yunet_n_pth)
+    img = np.random.RandomState(0).randint(
+        0, 255, (96, 128, 3)).astype(np.uint8)
+    r = inference_detector(det, img)
+    assert set(r) == {"bboxes", "kps", "labels"}
+    rs = inference_detector(det, [img, img])
+    assert len(rs) == 2
+    np.testing.assert_allclose(rs[0]["bboxes"], rs[1]["bboxes"])
+
+
+def test_autorank(tmp_path):
+    from yunet_tpu.utils.autorank import AutoRank
+    log = tmp_path / "eval.log"
+    ar = AutoRank(str(log))
+    ar.update({"easy": 0.5, "medium": 0.4, "hard": 0.3}, tag="a")
+    ar.update({"easy": 0.9, "medium": 0.8, "hard": 0.7}, tag="b")
+    rows = [ln for ln in log.read_text().splitlines() if ln]
+    import json
+    assert json.loads(rows[0])["tag"] == "b"  # sorted by hard desc

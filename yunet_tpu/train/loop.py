@@ -32,11 +32,21 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
         resume_from: Optional[str] = None, auto_resume: bool = False,
         load_pth: Optional[str] = None, max_steps: Optional[int] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
-        loader: Optional[TrainLoader] = None):
-    """Run training. Returns the final TrainState."""
+        loader: Optional[TrainLoader] = None,
+        eval_hook=None, eval_interval_epochs: int = 0,
+        sample_stats: bool = False):
+    """Run training. Returns the final TrainState.
+
+    eval_hook: optional callable (train_state, step) -> dict of metrics,
+    fired every eval_interval_epochs (the EvalHook counterpart,
+    reference core/evaluation/eval_hooks.py:24-130).
+    """
     work_dir = work_dir or cfg.work_dir
     logger = get_logger(f"{work_dir}/train.log")
     metrics_log = MetricsLogger(work_dir)
+    from ..utils.env import env_string, setup_multi_processes
+    setup_multi_processes()
+    logger.info("environment:\n" + env_string())
     n_dev = mesh.size if mesh is not None else 1
 
     if loader is None:
@@ -85,6 +95,11 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
         from jax.sharding import NamedSharding, PartitionSpec as P
         sharding = NamedSharding(mesh, P("dp"))
 
+    stats = None
+    if sample_stats:
+        from .hooks import SampleSizeStatistics
+        stats = SampleSizeStatistics()
+
     it = device_prefetch(iter(loader), sharding=sharding)
     t_last = time.time()
     imgs_since = 0
@@ -92,6 +107,9 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
     for i in range(start_step, total_steps):
         batch = next(it)
         batch.pop("num_overflow", None)
+        if stats is not None:
+            stats.update(jax.device_get(
+                {k: batch[k] for k in ("gt_bboxes", "gt_valid")}))
         ts, m = step_fn(ts, batch)
         imgs_since += total_batch
         step = i + 1
@@ -123,6 +141,13 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
                     work_dir, ts, epoch=step // steps_per_epoch,
                     meta={"config": cfg.model.name})
                 logger.info(f"saved checkpoint {path}")
+        if (eval_hook is not None and eval_interval_epochs > 0
+                and step % (eval_interval_epochs * steps_per_epoch) == 0):
+            ev = eval_hook(ts, step)
+            logger.info(f"eval @ step {step}: {ev}")
+            metrics_log.log(step, ev, prefix="val")
+    if stats is not None and jax.process_index() == 0:
+        stats.dump(f"{work_dir}/sample_size_stats.json")
     loader.close()
     metrics_log.close()
     return ts

@@ -169,9 +169,11 @@ def make_train_step(cfg: Config, model: YuNet, tx, *, img_size: int,
         new_params = optax.apply_updates(ts.params, updates)
         ema = ts.ema_params
         if ema is not None:
-            m = cfg.train.ema_momentum
-            ema = jax.tree.map(lambda e, p: e * (1 - m) + p * m,
-                               ema, new_params)
+            # ExpMomentumEMA warmup (reference core/hook/ema.py:103-113)
+            from .ema import exp_momentum, ema_update
+            m = exp_momentum(cfg.train.ema_momentum)(
+                ts.step.astype(jnp.float32))
+            ema = ema_update(ema, new_params, m)
         return TrainState(new_params, new_state, new_opt, ts.step + 1,
                           ema), metrics
 
