@@ -41,6 +41,37 @@ class AssignResult(NamedTuple):
     matched_iou: jnp.ndarray    # (P,) f32 — IoU with the matched GT (0 if bg)
 
 
+def _iter_topk_max_sum(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Sum of the k largest entries along the last axis.
+
+    Exact, k passes of max+mask — on TPU this is far cheaper than
+    lax.top_k, which lowers to a full O(n log n) sort of the whole
+    (..., n) operand (the dominant cost of the naive SimOTA step).
+    """
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    total = jnp.zeros(x.shape[:-1], x.dtype)
+    cur = x
+    for _ in range(k):
+        total = total + cur.max(axis=-1)
+        a = jnp.argmax(cur, axis=-1)
+        cur = jnp.where(iota == a[..., None], -jnp.inf, cur)
+    return total
+
+
+def _iter_topk_min_idx(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of the k smallest entries along the last axis, ascending,
+    ties resolved to the lower index — the same order lax.top_k(-x)
+    produces, without the full sort."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    idxs = []
+    cur = x
+    for _ in range(k):
+        a = jnp.argmin(cur, axis=-1)
+        idxs.append(a)
+        cur = jnp.where(iota == a[..., None], jnp.inf, cur)
+    return jnp.stack(idxs, axis=-1)
+
+
 def _in_box_deltas(px, py, boxes):
     """min over (l, t, r, b) > 0 test, broadcast (P, G)."""
     l = px[:, None] - boxes[None, :, 0]
@@ -110,12 +141,12 @@ def sim_ota_assign(pred_scores: jnp.ndarray, priors: jnp.ndarray,
 
     # --- dynamic-k (:230-243) ----------------------------------------------
     k_cap = min(candidate_topk, p)
-    topk_ious, _ = jax.lax.top_k(ious.T, k_cap)            # (G, k_cap)
-    dynamic_ks = jnp.clip(topk_ious.sum(-1).astype(jnp.int32), 1, None)
+    topk_iou_sum = _iter_topk_max_sum(ious.T, k_cap)       # (G,)
+    dynamic_ks = jnp.clip(topk_iou_sum.astype(jnp.int32), 1, None)
     dynamic_ks = jnp.where(gt_valid, dynamic_ks, 0)        # (G,)
 
     # per-GT smallest-cost candidates (ties -> lower prior index, like torch)
-    neg_cost, cand_idx = jax.lax.top_k(-cost.T, k_cap)     # (G, k_cap)
+    cand_idx = _iter_topk_min_idx(cost.T, k_cap)           # (G, k_cap)
     take = (jnp.arange(k_cap)[None, :] < dynamic_ks[:, None])  # (G, k_cap)
     matching = jnp.zeros((g, p), bool).at[
         jnp.arange(g)[:, None], cand_idx].set(take)
