@@ -1,0 +1,129 @@
+"""Extended aug library + TTA + XML reader + misc utils tests."""
+
+import numpy as np
+import pytest
+
+from yunet_tpu.data.aug_extra import (expand, min_iou_random_crop, mosaic4,
+                                      photometric_distortion)
+
+
+def _scene(h=100, w=150, n=3, seed=0):
+    rng = np.random.RandomState(seed)
+    img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    c = rng.uniform(20, min(h, w) - 20, (n, 2))
+    wh = rng.uniform(8, 20, (n, 2))
+    boxes = np.concatenate([c - wh / 2, c + wh / 2], -1).astype(np.float32)
+    kps = np.zeros((n, 5, 3), np.float32)
+    kps[..., :2] = c[:, None, :]
+    kps[..., 2] = 1.0
+    return img, boxes, kps
+
+
+def test_photometric_distortion_shape_and_range():
+    img, _, _ = _scene()
+    out = photometric_distortion(img, np.random.RandomState(0))
+    assert out.shape == img.shape
+    assert out.min() >= 0 and out.max() <= 255
+    # some distortion actually happened across a few seeds
+    diffs = [np.abs(photometric_distortion(
+        img, np.random.RandomState(s)) - img).max() for s in range(5)]
+    assert max(diffs) > 1
+
+
+def test_expand_preserves_content_and_shifts_targets():
+    img, boxes, kps = _scene()
+    boxes = np.floor(boxes)  # integer coords -> exact offset recovery
+    kps[..., :2] = np.floor(kps[..., :2])
+    rng = np.random.RandomState(1)
+    out, nb, nk = expand(img, boxes, kps, rng, mean=(128, 128, 128))
+    assert out.shape[0] >= img.shape[0] and out.shape[1] >= img.shape[1]
+    # boxes shifted by the same offset everywhere, sizes preserved
+    np.testing.assert_allclose(nb[:, 2] - nb[:, 0],
+                               boxes[:, 2] - boxes[:, 0], atol=1e-4)
+    dx = nb[0, 0] - boxes[0, 0]
+    dy = nb[0, 1] - boxes[0, 1]
+    np.testing.assert_allclose(nk[..., 0], kps[..., 0] + dx, atol=1e-4)
+    np.testing.assert_allclose(nk[..., 1], kps[..., 1] + dy, atol=1e-4)
+    # the pasted region equals the original image
+    x, y = int(dx), int(dy)
+    np.testing.assert_array_equal(
+        out[y:y + img.shape[0], x:x + img.shape[1]], img)
+
+
+def test_min_iou_random_crop_keeps_centers():
+    img, boxes, kps = _scene(h=200, w=200)
+    rng = np.random.RandomState(3)
+    labels = np.zeros(boxes.shape[0], np.int64)
+    out, nb, nk, nl = min_iou_random_crop(img, boxes, kps, labels, rng)
+    assert nb.shape[0] >= 1
+    assert (nb[:, :2] >= -1e-4).all()
+    assert (nb[:, 2] <= out.shape[1] + 1e-4).all()
+    assert nl.shape[0] == nb.shape[0] == nk.shape[0]
+
+
+def test_mosaic4_combines_boxes():
+    samples = []
+    for s in range(4):
+        img, boxes, kps = _scene(seed=s)
+        samples.append((img, boxes, kps))
+    rng = np.random.RandomState(0)
+    canvas, nb, nk = mosaic4(samples, rng, out_size=400)
+    assert canvas.shape == (400, 400, 3)
+    assert nb.shape[0] > 0
+    assert (nb >= 0).all() and (nb <= 400).all()
+    assert nk.shape[1:] == (5, 3)
+
+
+def test_detect_tta_flip_merges(yunet_n_pth):
+    from yunet_tpu.apis import init_detector
+    det = init_detector("yunet_n", yunet_n_pth)
+    img = np.random.RandomState(0).randint(
+        0, 255, (96, 128, 3)).astype(np.uint8)
+    r = det.detect_tta(img, scales=((128, 96),), flip=True,
+                       score_thr=0.01)
+    assert set(r) == {"bboxes", "kps", "labels"}
+    # flip doubles the views; merged output must be NMS-clean
+    if r["bboxes"].shape[0] > 1:
+        from yunet_tpu.ops.boxes import pairwise_iou
+        import jax.numpy as jnp
+        iou = np.asarray(pairwise_iou(jnp.asarray(r["bboxes"][:, :4]),
+                                      jnp.asarray(r["bboxes"][:, :4])))
+        np.fill_diagonal(iou, 0)
+        assert iou.max() <= 0.45 + 1e-6
+
+
+def test_widerface_xml_reader(tmp_path):
+    from yunet_tpu.data.widerface_xml import parse_widerface_xml
+    ann_dir = tmp_path / "Annotations"
+    ann_dir.mkdir()
+    (ann_dir / "img1.xml").write_text(
+        "<annotation><folder>ev</folder><size><width>100</width>"
+        "<height>80</height></size>"
+        "<object><name>face</name><bndbox><xmin>10</xmin><ymin>10</ymin>"
+        "<xmax>30</xmax><ymax>40</ymax></bndbox></object>"
+        "<object><name>cat</name><bndbox><xmin>1</xmin><ymin>1</ymin>"
+        "<xmax>2</xmax><ymax>2</ymax></bndbox></object>"
+        "</annotation>")
+    idx = tmp_path / "index.txt"
+    idx.write_text("img1\n")
+    recs = parse_widerface_xml(str(idx), str(tmp_path))
+    assert len(recs) == 1
+    assert recs[0].filename == "ev/img1.jpg"
+    assert recs[0].bboxes.shape == (1, 4)  # non-face objects skipped
+
+
+def test_bbox2result():
+    from yunet_tpu.eval.detect import bbox2result
+    bb = np.asarray([[0, 0, 1, 1, 0.9], [2, 2, 3, 3, 0.8]], np.float32)
+    out = bbox2result(bb, np.asarray([0, 0]), 1)
+    assert len(out) == 1 and out[0].shape == (2, 5)
+    out = bbox2result(np.zeros((0, 5), np.float32), np.zeros((0,)), 1)
+    assert out[0].shape == (0, 5)
+
+
+def test_data_root_env_override(monkeypatch):
+    from yunet_tpu.config import get_config
+    monkeypatch.setenv("YUNET_DATA_ROOT", "/custom/root")
+    cfg = get_config("yunet_n")
+    assert cfg.data.train_ann.startswith("/custom/root/")
+    assert cfg.data.val_img_prefix.startswith("/custom/root/")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import ast
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from typing import Any, Sequence, Tuple
 
@@ -154,7 +155,28 @@ _PRESETS = {"yunet_n": yunet_n, "yunet_s": yunet_s}
 def get_config(name: str) -> Config:
     if name not in _PRESETS:
         raise KeyError(f"unknown config '{name}'; have {sorted(_PRESETS)}")
-    return _PRESETS[name]()
+    cfg = _PRESETS[name]()
+    root = os.environ.get("YUNET_DATA_ROOT")
+    if root:
+        cfg = _retarget_data_root(cfg, root)
+    return cfg
+
+
+def _retarget_data_root(cfg: Config, root: str) -> Config:
+    """Repoint dataset paths at another root (the reference honors an
+    MMDET_DATASETS env override, utils/misc.py:45-76)."""
+    d = cfg.data
+    old = d.data_root
+
+    def sub(p: str) -> str:
+        return p.replace(old, root.rstrip("/") + "/", 1) \
+            if p.startswith(old) else p
+
+    new_d = dataclasses.replace(
+        d, data_root=root, train_ann=sub(d.train_ann),
+        train_img_prefix=sub(d.train_img_prefix), val_ann=sub(d.val_ann),
+        val_img_prefix=sub(d.val_img_prefix), gt_dir=sub(d.gt_dir))
+    return dataclasses.replace(cfg, data=new_d)
 
 
 def _coerce(value: str) -> Any:

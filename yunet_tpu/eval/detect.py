@@ -73,6 +73,16 @@ def resize_img(img: np.ndarray, mode: Union[str, Tuple[int, int]]
     return det_img, det_scale
 
 
+def bbox2result(bboxes: np.ndarray, labels: np.ndarray,
+                num_classes: int) -> list:
+    """Split (n, 5) detections into per-class numpy arrays
+    (reference core/bbox/transforms.py bbox2result)."""
+    if bboxes.shape[0] == 0:
+        return [np.zeros((0, 5), np.float32)
+                for _ in range(num_classes)]
+    return [bboxes[labels == i] for i in range(num_classes)]
+
+
 class Detector:
     """Stateful inference wrapper with a per-shape compiled-program cache."""
 
@@ -178,6 +188,43 @@ class Detector:
             "kps": kps_sel.astype(np.float32),
             "labels": np.zeros((sel.shape[0],), np.int64),
         }
+
+    def detect_tta(self, img_bgr: np.ndarray,
+                   scales=((640, 640),), flip: bool = False, *,
+                   score_thr: Optional[float] = None
+                   ) -> Dict[str, np.ndarray]:
+        """Multi-scale (+ horizontal-flip) test-time augmentation: run each
+        view, map detections back to original coords, merge with one final
+        NMS — the MultiScaleFlipAug + merge_aug path of the reference
+        (datasets/pipelines/test_time_aug.py:11-121,
+        dense_test_mixins aug_test)."""
+        all_boxes, all_kps = [], []
+        views = [(s, False) for s in scales]
+        if flip:
+            views += [(s, True) for s in scales]
+        w = img_bgr.shape[1]
+        for scale, flipped in views:
+            view = img_bgr[:, ::-1] if flipped else img_bgr
+            r = self.detect(np.ascontiguousarray(view), mode=scale,
+                            score_thr=score_thr)
+            bb, kp = r["bboxes"], r["kps"]
+            if flipped and bb.shape[0]:
+                bb = bb.copy()
+                x1 = w - bb[:, 2]
+                x2 = w - bb[:, 0]
+                bb[:, 0], bb[:, 2] = x1, x2
+                kp = kp.reshape(-1, kp.shape[1] // 2, 2).copy()
+                kp = kp[:, [1, 0, 2, 4, 3], :]  # landmark reorder
+                kp[..., 0] = w - kp[..., 0]
+                kp = kp.reshape(bb.shape[0], -1)
+            all_boxes.append(bb)
+            all_kps.append(kp)
+        boxes = np.concatenate(all_boxes, 0)
+        kps = np.concatenate(all_kps, 0)
+        keep = native.nms(boxes[:, :4], boxes[:, 4],
+                          self.cfg.test.nms_iou_thr)
+        return {"bboxes": boxes[keep], "kps": kps[keep],
+                "labels": np.zeros((len(keep),), np.int64)}
 
     def warmup(self, shapes):
         for (h, w) in shapes:
