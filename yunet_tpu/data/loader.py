@@ -138,10 +138,12 @@ def device_prefetch(iterator, *, sharding=None, depth: int = 2):
     try:
         for _ in range(depth):
             buf.append(_put(next(it)))
-        while True:
-            out = buf.popleft()
-            buf.append(_put(next(it)))
-            yield out
     except StopIteration:
-        while buf:
-            yield buf.popleft()
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(_put(next(it)))
+        except StopIteration:
+            pass
+        yield out
