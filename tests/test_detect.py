@@ -1,0 +1,115 @@
+"""Detector pipeline tests on CPU (interpret-mode Pallas for device NMS)."""
+
+import numpy as np
+import pytest
+
+from yunet_tpu.apis import init_detector
+from yunet_tpu.eval.detect import resize_img
+
+
+def _img(h, w, seed=0):
+    return np.random.RandomState(seed).randint(
+        0, 255, (h, w, 3)).astype(np.uint8)
+
+
+def test_resize_img_modes():
+    img = _img(100, 150)
+    out, s = resize_img(img, "AUTO")
+    assert out.shape == (128, 160, 3) and s == 1.0
+    np.testing.assert_array_equal(out[:100, :150], img)
+    assert (out[100:] == 0).all()
+
+    out, s = resize_img(img, "ORIGIN")
+    assert out.shape == (128, 160, 3) and s == 1.0
+
+    out, s = resize_img(img, (320, 320))
+    assert out.shape == (320, 320, 3)
+    # landscape image: width fills the canvas; scale uses the truncated
+    # int height exactly like the reference (detect_image.py:120-127)
+    assert s == pytest.approx(int(320 * 100 / 150) / 100, rel=1e-6)
+
+    out, s = resize_img(img, "VGA")
+    assert out.shape == (480, 640, 3)
+
+
+def test_detect_host_vs_device_nms(yunet_n_pth):
+    det = init_detector("yunet_n", yunet_n_pth)
+    img = _img(96, 128, seed=1)
+    a = det.detect(img, score_thr=0.01, use_device_nms=False)
+    b = det.detect(img, score_thr=0.01, use_device_nms=True)
+    assert a["bboxes"].shape == b["bboxes"].shape
+    np.testing.assert_allclose(a["bboxes"], b["bboxes"], rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(a["kps"], b["kps"], rtol=1e-4, atol=1e-3)
+
+
+def test_detect_batch_matches_single(yunet_n_pth):
+    det = init_detector("yunet_n", yunet_n_pth)
+    imgs = [_img(96, 128, seed=i) for i in range(3)]
+    batched = det.detect_batch(imgs, mode=(128, 96), score_thr=0.01)
+    for img, rb in zip(imgs, batched):
+        rs = det.detect(img, mode=(128, 96), score_thr=0.01)
+        assert rs["bboxes"].shape == rb["bboxes"].shape
+        np.testing.assert_allclose(rs["bboxes"], rb["bboxes"],
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_detect_rescale(yunet_n_pth):
+    """Detections from a downscaled view map back to original coords."""
+    det = init_detector("yunet_n", yunet_n_pth)
+    img = _img(200, 300, seed=2)
+    r_small = det.detect(img, mode=(96, 64), score_thr=0.005)
+    if r_small["bboxes"].shape[0]:
+        assert r_small["bboxes"][:, 2].max() <= 300 + 1
+        assert r_small["bboxes"][:, 3].max() <= 200 + 1
+
+
+def test_compare_inference_numpy_decode(yunet_n_pth):
+    """The harness's independent numpy ONNX decode == the JAX decode."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from compare_inference import numpy_decode_yunet
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.models import YuNet
+    from yunet_tpu.utils import load_pth_params
+    import jax.numpy as jnp
+
+    cfg = yunet_n()
+    model = YuNet(cfg.model)
+    params, state = load_pth_params(yunet_n_pth)
+    img = _img(320, 320, seed=3).astype(np.float32)
+    outs, _ = model.forward(params, state, jnp.asarray(img[None]),
+                            train=False)
+    onnx_outs = {}
+    for key, sig in (("cls", True), ("obj", True), ("bbox", False),
+                     ("kps", False)):
+        for lvl, stride in enumerate((8, 16, 32)):
+            m = np.asarray(outs[key][lvl]).reshape(1, -1,
+                                                   outs[key][lvl].shape[-1])
+            if sig:
+                m = 1 / (1 + np.exp(-m))
+            onnx_outs[f"{key}_{stride}"] = m
+    # disable threshold/NMS influence: keep everything, compare pre-NMS
+    dets, kps = numpy_decode_yunet(onnx_outs, (320, 320), score_thr=-1.0,
+                                   nms_thr=1.1)
+
+    from yunet_tpu.eval import Detector
+    det = Detector(cfg, params, state, bf16=False)  # f32 vs f32 compare
+    scores_j, boxes_j, kps_j = det._raw_fn(320, 320)(
+        det.params, det.state,
+        np.asarray(img[None], np.float32))
+    # row-align by lexicographic sort (tied scores make score-sort orders
+    # ambiguous between the two implementations)
+    def lexo(rows):
+        return np.lexsort(tuple(np.round(rows[:, c], 3)
+                                for c in range(rows.shape[1])))
+
+    o_np = lexo(dets)
+    jrows = np.concatenate([np.asarray(boxes_j),
+                            np.asarray(scores_j)[:, None]], -1)
+    o_j = lexo(jrows)
+    np.testing.assert_allclose(dets[o_np], jrows[o_j], rtol=1e-3,
+                               atol=1e-2)
+    np.testing.assert_allclose(kps[o_np], np.asarray(kps_j)[o_j],
+                               rtol=1e-3, atol=1e-2)

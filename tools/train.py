@@ -32,6 +32,12 @@ def parse_args():
     p.add_argument("--load-pth", default=None,
                    help="initialize weights from a reference .pth")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--diff-seed", action="store_true",
+                   help="mix jax.process_index() into the data seed "
+                   "(reference --diff-seed)")
+    p.add_argument("--sample-stats", action="store_true",
+                   help="dump a GT-size histogram at the end "
+                   "(YuNetSampleSizeStatisticsHook)")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--single-device", action="store_true",
                    help="no mesh even with multiple devices")
@@ -61,6 +67,10 @@ def main():
     if args.seed is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, seed=args.seed))
+    if args.diff_seed:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, seed=cfg.train.seed + jax.process_index()))
 
     devices = jax.devices()
     mesh = None
@@ -78,7 +88,8 @@ def main():
 
     fit(cfg, work_dir=args.work_dir, resume_from=args.resume_from,
         auto_resume=args.auto_resume, load_pth=args.load_pth,
-        max_steps=max_steps, mesh=mesh, loader=loader)
+        max_steps=max_steps, mesh=mesh, loader=loader,
+        sample_stats=args.sample_stats)
 
 
 if __name__ == "__main__":

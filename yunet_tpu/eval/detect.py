@@ -95,6 +95,7 @@ class Detector:
         self.bf16 = bf16
         self._raw_cache: Dict[Tuple[int, int], object] = {}
         self._nms_cache: Dict[Tuple[int, int, int], object] = {}
+        self._batch_cache: Dict[Tuple[int, int], object] = {}
 
     # -- jitted programs ----------------------------------------------------
     def _raw_fn(self, h: int, w: int):
@@ -188,6 +189,63 @@ class Detector:
             "kps": kps_sel.astype(np.float32),
             "labels": np.zeros((sel.shape[0],), np.int64),
         }
+
+    def detect_batch(self, imgs_bgr, mode: Tuple[int, int], *,
+                     score_thr: Optional[float] = None):
+        """Batched fixed-canvas detection (for mode-0/1 WIDER eval and
+        serving): all images are letterboxed to one canvas, run as a single
+        batch forward, then per-image host NMS."""
+        import cv2  # noqa: F401 (resize_img uses it)
+
+        score_thr = (self.cfg.test.score_thr if score_thr is None
+                     else score_thr)
+        views, scales = [], []
+        for img in imgs_bgr:
+            det_img, det_scale = resize_img(img, mode)
+            views.append(det_img.astype(np.float32))
+            scales.append(det_scale)
+        x = jnp.asarray(np.stack(views))
+        h, w = views[0].shape[:2]
+        if (h, w) not in self._batch_cache:
+            sizes = self.model.featmap_sizes(h, w)
+            priors = jnp.asarray(grid_priors(
+                sizes, self.cfg.model.strides, self.cfg.model.prior_offset))
+
+            @jax.jit
+            def fn(params, state, x):
+                if self.bf16:
+                    x = x.astype(jnp.bfloat16)
+                flat, _ = self.model.forward_flat(params, state, x,
+                                                  train=False)
+                cls = flat["cls"].astype(jnp.float32)
+                obj = flat["obj"][..., 0].astype(jnp.float32)
+                scores = jax.nn.sigmoid(cls[..., 0]) * jax.nn.sigmoid(obj)
+                boxes = bbox_decode(priors,
+                                    flat["bbox"].astype(jnp.float32))
+                kps = kps_decode(priors, flat["kps"].astype(jnp.float32))
+                return scores, boxes, kps
+
+            self._batch_cache[(h, w)] = fn
+        scores, boxes, kps = self._batch_cache[(h, w)](
+            self.params, self.state, x)
+        scores = np.asarray(scores)
+        boxes = np.asarray(boxes)
+        kps = np.asarray(kps)
+        results = []
+        for i, det_scale in enumerate(scales):
+            valid = scores[i] >= score_thr
+            bv, sv, kv = boxes[i][valid], scores[i][valid], kps[i][valid]
+            keep = native.nms(bv, sv, self.cfg.test.nms_iou_thr)
+            sel = np.concatenate([bv[keep], sv[keep, None]], axis=-1)
+            ksel = kv[keep]
+            if det_scale != 1.0:
+                sel[:, :4] /= det_scale
+                ksel = ksel / det_scale
+            results.append({"bboxes": sel.astype(np.float32),
+                            "kps": ksel.astype(np.float32),
+                            "labels": np.zeros((sel.shape[0],),
+                                               np.int64)})
+        return results
 
     def detect_tta(self, img_bgr: np.ndarray,
                    scales=((640, 640),), flip: bool = False, *,

@@ -22,6 +22,21 @@ def _ckpt_dir(work_dir: str, step: int) -> str:
     return os.path.join(os.path.abspath(work_dir), f"ckpt_{step:08d}")
 
 
+def _git_hash() -> str:
+    """Embed the repo git hash in checkpoint meta (the reference embeds
+    mmdet version + git hash, tools/train.py:218-223)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=5)
+        return out.stdout.strip() or "unknown"
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        return "unknown"
+
+
 def save_checkpoint(work_dir: str, state, *, epoch: int,
                     meta: Optional[Dict[str, Any]] = None) -> str:
     import orbax.checkpoint as ocp
@@ -36,7 +51,9 @@ def save_checkpoint(work_dir: str, state, *, epoch: int,
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
     info = {"step": step, "epoch": epoch,
-            "version": "yunet_tpu-0.1", "classes": ["FG"]}
+            "version": "yunet_tpu-0.1", "classes": ["FG"],
+            "git": _git_hash(), "time": __import__("time").strftime(
+                "%Y-%m-%d %H:%M:%S")}
     info.update(meta or {})
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(info, f)
