@@ -54,6 +54,48 @@ def test_detect_batch_matches_single(yunet_n_pth):
                                    rtol=1e-4, atol=1e-3)
 
 
+def test_fused_forward_matches_reference(yunet_n_pth):
+    """BN-folded Pallas fused trunk == standard forward (f32, CPU)."""
+    import jax.numpy as jnp
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.models import YuNet
+    from yunet_tpu.models.fused import (fold_inference_params,
+                                        fused_forward)
+    from yunet_tpu.utils import load_pth_params
+
+    cfg = yunet_n()
+    model = YuNet(cfg.model)
+    params, state = load_pth_params(yunet_n_pth)
+    folded = fold_inference_params(params, state, cfg.model)
+    x = jnp.asarray(_img(96, 128, seed=5)[None].astype(np.float32))
+    ref, _ = model.forward(params, state, x, train=False)
+    got = fused_forward(folded, x, cfg.model)
+    for k in ("cls", "bbox", "obj", "kps"):
+        for lvl in range(3):
+            np.testing.assert_allclose(
+                np.asarray(got[k][lvl]), np.asarray(ref[k][lvl]),
+                rtol=1e-3, atol=2e-4, err_msg=f"{k}{lvl}")
+
+
+def test_fused_detector_end_to_end(yunet_n_pth):
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.eval import Detector
+    from yunet_tpu.utils import load_pth_params
+
+    cfg = yunet_n()
+    params, state = load_pth_params(yunet_n_pth)
+    base = Detector(cfg, params, state, bf16=False)
+    fused = Detector(cfg, params, state, bf16=False, fused=True)
+    img = _img(96, 128, seed=6)
+    a = base.detect(img, score_thr=0.01)
+    b = fused.detect(img, score_thr=0.01)
+    assert abs(a["bboxes"].shape[0] - b["bboxes"].shape[0]) <= 1
+    n = min(a["bboxes"].shape[0], b["bboxes"].shape[0])
+    if n:
+        np.testing.assert_allclose(a["bboxes"][:n], b["bboxes"][:n],
+                                   rtol=1e-2, atol=0.5)
+
+
 def test_detect_rescale(yunet_n_pth):
     """Detections from a downscaled view map back to original coords."""
     det = init_detector("yunet_n", yunet_n_pth)

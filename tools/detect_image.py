@@ -24,6 +24,8 @@ def parse_args():
     p.add_argument("--nms-thresh", type=float, default=0.45)
     p.add_argument("--device-nms", action="store_true",
                    help="run NMS on the TPU instead of the host")
+    p.add_argument("--fused", action="store_true",
+                   help="BN-folded trunk with the fused Pallas kernel")
     p.add_argument("--no-kps", action="store_true")
     return p.parse_args()
 
@@ -53,7 +55,7 @@ def main():
         cfg.test, score_thr=args.score_thresh,
         nms_iou_thr=args.nms_thresh))
     params, state = load_weights(cfg, args.checkpoint)
-    det = Detector(cfg, params, state)
+    det = Detector(cfg, params, state, fused=args.fused)
 
     img = cv2.imread(args.image)
     if img is None:

@@ -87,12 +87,17 @@ class Detector:
     """Stateful inference wrapper with a per-shape compiled-program cache."""
 
     def __init__(self, cfg: Config, params, state, *,
-                 bf16: bool = True):
+                 bf16: bool = True, fused: bool = False):
         self.cfg = cfg
         self.model = YuNet(cfg.model)
         self.params = jax.tree.map(jnp.asarray, params)
         self.state = jax.tree.map(jnp.asarray, state)
         self.bf16 = bf16
+        self.fused = fused
+        self._folded = None
+        if fused:
+            from ..models.fused import fold_inference_params
+            self._folded = fold_inference_params(params, state, cfg.model)
         self._raw_cache: Dict[Tuple[int, int], object] = {}
         self._nms_cache: Dict[Tuple[int, int, int], object] = {}
         self._batch_cache: Dict[Tuple[int, int], object] = {}
@@ -106,11 +111,21 @@ class Detector:
         priors = jnp.asarray(grid_priors(sizes, self.cfg.model.strides,
                                          self.cfg.model.prior_offset))
 
+        def _forward(params, state, x):
+            if self.fused:
+                from ..models.fused import fused_forward
+                from ..models.head import flatten_level_outputs
+                outs = fused_forward(self._folded, x, self.cfg.model)
+                return flatten_level_outputs(outs)
+            flat, _ = self.model.forward_flat(params, state, x,
+                                              train=False)
+            return flat
+
         @jax.jit
         def fn(params, state, x):
             if self.bf16:
                 x = x.astype(jnp.bfloat16)
-            flat, _ = self.model.forward_flat(params, state, x, train=False)
+            flat = _forward(params, state, x)
             cls = flat["cls"][0].astype(jnp.float32)
             obj = flat["obj"][0, :, 0].astype(jnp.float32)
             scores = (jax.nn.sigmoid(cls[:, 0]) * jax.nn.sigmoid(obj))

@@ -1,0 +1,112 @@
+"""Fused-kernel inference forward: BN folded, every ConvDPUnit executed by
+the Pallas fused pw->dw->relu kernel (ops/convdp_pallas.py).
+
+Numerically equivalent to YuNet.forward(train=False) with running BN
+stats (the folding is the same transform the C++/ONNX exporters apply);
+used by Detector(fused=True) for serving.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..export.cpp_export import fold_conv_bn
+from ..ops.convdp_pallas import fused_conv_dp
+from .backbone import max_pool2x
+from .neck import upsample2x_nearest
+
+
+def _fold_unit(p, s) -> Dict[str, Any]:
+    if "bn" in p:
+        wd, bd = fold_conv_bn(p["conv2"]["w"], p["conv2"]["b"],
+                              p["bn"], s["bn"])
+        return {"w1": p["conv1"]["w"], "b1": p["conv1"]["b"],
+                "wd": wd, "bd": bd, "relu": True}
+    return {"w1": p["conv1"]["w"], "b1": p["conv1"]["b"],
+            "wd": p["conv2"]["w"], "bd": p["conv2"]["b"], "relu": False}
+
+
+def fold_inference_params(params, state, cfg: ModelConfig):
+    """Fold BN into conv weights across the whole model; returns a pytree
+    of fused-unit params mirroring the model topology."""
+    out: Dict[str, Any] = {"backbone": {}, "neck": {}, "head": {}}
+    bb_p, bb_s = params["backbone"], state["backbone"]
+    p0, s0 = bb_p["model0"], bb_s["model0"]
+    w, b = fold_conv_bn(p0["conv1"]["w"], p0["conv1"]["b"], p0["bn1"],
+                        s0["bn1"])
+    out["backbone"]["stem_conv"] = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+    out["backbone"]["stem_dp"] = _fold_unit(p0["conv2"], s0["conv2"])
+    for i in range(1, len(cfg.stage_channels)):
+        p, s = bb_p[f"model{i}"], bb_s[f"model{i}"]
+        out["backbone"][f"m{i}a"] = _fold_unit(p["conv1"], s["conv1"])
+        out["backbone"][f"m{i}b"] = _fold_unit(p["conv2"], s["conv2"])
+    for i in range(len(cfg.neck_in_channels)):
+        out["neck"][str(i)] = _fold_unit(
+            params["neck"]["lateral_convs"][str(i)],
+            state["neck"]["lateral_convs"][str(i)])
+    hp, hs = params["head"], state["head"]
+    for lvl in range(len(cfg.strides)):
+        lvl_d: Dict[str, Any] = {}
+        if "multi_level_share_convs" in hp:
+            lvl_d["share"] = [
+                _fold_unit(hp["multi_level_share_convs"][str(lvl)][j],
+                           hs["multi_level_share_convs"][str(lvl)][j])
+                for j in sorted(hp["multi_level_share_convs"][str(lvl)],
+                                key=int)]
+        for key, branch in (("cls", "multi_level_cls"),
+                            ("bbox", "multi_level_bbox"),
+                            ("obj", "multi_level_obj"),
+                            ("kps", "multi_level_kps")):
+            if branch in hp:
+                lvl_d[key] = _fold_unit(hp[branch][str(lvl)],
+                                        hs[branch][str(lvl)])
+        out["head"][str(lvl)] = lvl_d
+    # NOTE: 'relu' flags stay python bools (static kernel config); weight
+    # leaves stay host arrays — fused_forward closes over them so they are
+    # jit constants.
+    return out
+
+
+def _unit(u, x):
+    return fused_conv_dp(x, jnp.asarray(u["w1"]), jnp.asarray(u["b1"]),
+                         jnp.asarray(u["wd"]), jnp.asarray(u["bd"]),
+                         relu=u["relu"])
+
+
+def fused_forward(folded, x: jnp.ndarray, cfg: ModelConfig
+                  ) -> Dict[str, List[jnp.ndarray]]:
+    """x: (N, H, W, 3) raw BGR float. Returns per-level NHWC maps."""
+    bb = folded["backbone"]
+    y = jax.lax.conv_general_dilated(
+        x, bb["stem_conv"]["w"].astype(x.dtype), (2, 2),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = jnp.maximum(y + bb["stem_conv"]["b"].astype(y.dtype), 0)
+    y = _unit(bb["stem_dp"], y)
+    feats: List[jnp.ndarray] = []
+    for i in range(len(cfg.stage_channels)):
+        if i > 0:
+            y = _unit(bb[f"m{i}a"], y)
+            y = _unit(bb[f"m{i}b"], y)
+        if i in cfg.out_idx:
+            feats.append(y)
+        if i in cfg.downsample_idx:
+            y = max_pool2x(y)
+    for i in range(len(feats) - 1, 0, -1):
+        feats[i] = _unit(folded["neck"][str(i)], feats[i])
+        feats[i - 1] = feats[i - 1] + upsample2x_nearest(feats[i])
+    feats[0] = _unit(folded["neck"]["0"], feats[0])
+
+    outs: Dict[str, List[jnp.ndarray]] = {"cls": [], "bbox": [],
+                                          "obj": [], "kps": []}
+    for lvl, f in enumerate(feats):
+        d = folded["head"][str(lvl)]
+        for u in d.get("share", []):
+            f = _unit(u, f)
+        for key in ("cls", "bbox", "obj", "kps"):
+            if key in d:
+                outs[key].append(_unit(d[key], f))
+    return outs
