@@ -110,6 +110,44 @@ def test_our_onnx_same_structure_as_reference(yunet_n_pth):
     assert ours.input_shapes["input"] == ref.input_shapes["input"]
 
 
+@pytest.mark.parametrize("variant", ["n", "s"])
+def test_onnx_weight_import_matches_pth(variant, yunet_n_pth,
+                                        yunet_s_pth):
+    """init_detector from the shipped .onnx == from the .pth."""
+    import jax.numpy as jnp
+    from yunet_tpu.apis import init_detector
+
+    path = os.path.join(REF_ONNX, f"yunet_{variant}_640_640.onnx")
+    if not os.path.exists(path):
+        pytest.skip("reference onnx unavailable")
+    pth = yunet_n_pth if variant == "n" else yunet_s_pth
+    da = init_detector(f"yunet_{variant}", path)
+    db = init_detector(f"yunet_{variant}", pth)
+    da.bf16 = db.bf16 = False
+    x = jnp.asarray(np.random.RandomState(0).randint(
+        0, 255, (1, 96, 128, 3)).astype(np.float32))
+    sa, ba, ka = da._raw_fn(96, 128)(da.params, da.state, x)
+    sb, bb, kb = db._raw_fn(96, 128)(db.params, db.state, x)
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ba), np.asarray(bb), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ka), np.asarray(kb), atol=1e-3)
+
+
+def test_onnx_weight_import_our_export(yunet_n_pth):
+    """Our own exported onnx (per-level head order) also round-trips."""
+    import tempfile
+    from yunet_tpu.export.onnx_import import load_onnx_params
+    cfg = yunet_n()
+    params, state = load_pth_params(yunet_n_pth)
+    blob = export_onnx(params, state, cfg.model, input_shape=(160, 160))
+    with tempfile.NamedTemporaryFile(suffix=".onnx") as f:
+        f.write(blob)
+        f.flush()
+        folded = load_onnx_params(f.name, cfg.model)
+    assert "stem_conv" in folded["backbone"]
+    assert folded["head"]["0"]["kps"]["wd"].shape == (3, 3, 1, 10)
+
+
 def test_fold_conv_bn_numerics():
     import jax
     from yunet_tpu.models.layers import (batch_norm, conv2d,

@@ -48,6 +48,10 @@ def init_detector(config: Union[str, Config],
         import jax
         from .models.detector import YuNet
         params, state = YuNet(cfg.model).init(jax.random.PRNGKey(0))
+    elif checkpoint.endswith(".onnx"):
+        from .export.onnx_import import load_onnx_params
+        folded = load_onnx_params(checkpoint, cfg.model)
+        return Detector(cfg, folded=folded)
     elif checkpoint.endswith(".pth"):
         from .utils.torch_import import load_pth_params
         params, state = load_pth_params(

@@ -86,16 +86,22 @@ def bbox2result(bboxes: np.ndarray, labels: np.ndarray,
 class Detector:
     """Stateful inference wrapper with a per-shape compiled-program cache."""
 
-    def __init__(self, cfg: Config, params, state, *,
-                 bf16: bool = True, fused: bool = False):
+    def __init__(self, cfg: Config, params=None, state=None, *,
+                 bf16: bool = True, fused: bool = False, folded=None):
+        """Either (params, state) [+ fused=True to fold], or a pre-folded
+        tree via ``folded`` (e.g. from export.onnx_import)."""
         self.cfg = cfg
         self.model = YuNet(cfg.model)
-        self.params = jax.tree.map(jnp.asarray, params)
-        self.state = jax.tree.map(jnp.asarray, state)
+        self.params = jax.tree.map(jnp.asarray, params) \
+            if params is not None else {}
+        self.state = jax.tree.map(jnp.asarray, state) \
+            if state is not None else {}
         self.bf16 = bf16
-        self.fused = fused
-        self._folded = None
-        if fused:
+        self.fused = fused or folded is not None
+        self._folded = folded
+        if fused and folded is None:
+            if params is None:
+                raise ValueError("fused=True needs (params, state)")
             from ..models.fused import fold_inference_params
             self._folded = fold_inference_params(params, state, cfg.model)
         self._raw_cache: Dict[Tuple[int, int], object] = {}
