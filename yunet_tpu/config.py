@@ -114,6 +114,8 @@ class TrainConfig:
     seed: int = 0
     # numerics: bf16 activations in the conv trunk, f32 losses/decode
     bf16: bool = True
+    # Pallas fused pw->dw kernels (custom VJP) for the trunk convs
+    fused_kernels: bool = False
     ema_momentum: float = 0.0  # 0 disables EMA (reference default: off)
     grad_clip: float = 0.0  # 0 disables (reference: grad_clip=None)
 

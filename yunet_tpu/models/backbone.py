@@ -41,7 +41,7 @@ def yunet_backbone_init(key, stage_channels: Sequence[Sequence[int]]
 
 def yunet_backbone(p: Params, s: State, x: jnp.ndarray, *,
                    downsample_idx: Sequence[int], out_idx: Sequence[int],
-                   train: bool = False
+                   train: bool = False, fused: bool = False
                    ) -> Tuple[List[jnp.ndarray], State]:
     num_stages = len(p)
     outs: List[jnp.ndarray] = []
@@ -49,7 +49,7 @@ def yunet_backbone(p: Params, s: State, x: jnp.ndarray, *,
     for i in range(num_stages):
         name = f"model{i}"
         fn = conv_head if i == 0 else conv4layer_block
-        x, new_s[name] = fn(p[name], s[name], x, train=train)
+        x, new_s[name] = fn(p[name], s[name], x, train=train, fused=fused)
         if i in out_idx:
             outs.append(x)
         if i in downsample_idx:

@@ -42,30 +42,35 @@ class YuNet:
                 {"backbone": sb, "neck": sn, "head": sh})
 
     # -- forward ------------------------------------------------------------
-    def extract_feat(self, params, state, x, *, train: bool = False):
+    def extract_feat(self, params, state, x, *, train: bool = False,
+                     fused: bool = False):
         feats, ns_b = yunet_backbone(
             params["backbone"], state["backbone"], x,
             downsample_idx=self.cfg.downsample_idx,
-            out_idx=self.cfg.out_idx, train=train)
+            out_idx=self.cfg.out_idx, train=train, fused=fused)
         feats, ns_n = tfpn(params["neck"], state["neck"], feats,
-                           out_idx=tuple(range(len(feats))), train=train)
+                           out_idx=tuple(range(len(feats))), train=train,
+                           fused=fused)
         return feats, {"backbone": ns_b, "neck": ns_n}
 
-    def forward(self, params, state, x, *, train: bool = False):
+    def forward(self, params, state, x, *, train: bool = False,
+                fused: bool = False):
         """x: (B, H, W, 3) raw 0-255 BGR float (the network eats unnormalized
         pixels; reference img_norm_cfg is identity, configs/yunet_n.py:27).
 
         Returns (per-level output dict, new_state).
         """
-        feats, ns = self.extract_feat(params, state, x, train=train)
+        feats, ns = self.extract_feat(params, state, x, train=train,
+                                      fused=fused)
         outs, ns_h = yunet_head(params["head"], state["head"], feats,
-                                train=train)
+                                train=train, fused=fused)
         ns["head"] = ns_h
         return outs, ns
 
-    def forward_flat(self, params, state, x, *, train: bool = False):
+    def forward_flat(self, params, state, x, *, train: bool = False,
+                     fused: bool = False):
         """Forward + per-level flatten to (B, P, C) tensors (prior order)."""
-        outs, ns = self.forward(params, state, x, train=train)
+        outs, ns = self.forward(params, state, x, train=train, fused=fused)
         return flatten_level_outputs(outs), ns
 
     def feature_test(self, params, state, x) -> List[jnp.ndarray]:

@@ -54,7 +54,7 @@ def yunet_head_init(key, *, num_levels: int, in_channels: int,
 
 
 def yunet_head(p: Params, s: State, feats: List[jnp.ndarray], *,
-               train: bool = False
+               train: bool = False, fused: bool = False
                ) -> Tuple[Dict[str, List[jnp.ndarray]], State]:
     """Returns dict of per-level NHWC maps: cls, bbox, obj, kps."""
     new_s: Dict[str, Any] = {b: {} for b in s}
@@ -72,14 +72,18 @@ def yunet_head(p: Params, s: State, feats: List[jnp.ndarray], *,
                             key=int):
                 feat, stack_new[i] = conv_dp_unit(
                     p["multi_level_share_convs"][l][i],
-                    s["multi_level_share_convs"][l][i], feat, train=train)
+                    s["multi_level_share_convs"][l][i], feat, train=train,
+                    fused=fused)
             new_s["multi_level_share_convs"][l] = stack_new
         cls, _ = conv_dp_unit(p["multi_level_cls"][l],
-                              s["multi_level_cls"][l], feat, train=train)
+                              s["multi_level_cls"][l], feat, train=train,
+                              fused=fused)
         bbox, _ = conv_dp_unit(p["multi_level_bbox"][l],
-                               s["multi_level_bbox"][l], feat, train=train)
+                               s["multi_level_bbox"][l], feat, train=train,
+                               fused=fused)
         obj, _ = conv_dp_unit(p["multi_level_obj"][l],
-                              s["multi_level_obj"][l], feat, train=train)
+                              s["multi_level_obj"][l], feat, train=train,
+                              fused=fused)
         new_s["multi_level_cls"][l] = {}
         new_s["multi_level_bbox"][l] = {}
         new_s["multi_level_obj"][l] = {}
@@ -88,7 +92,8 @@ def yunet_head(p: Params, s: State, feats: List[jnp.ndarray], *,
         out["obj"].append(obj)
         if use_kps:
             kps, _ = conv_dp_unit(p["multi_level_kps"][l],
-                                  s["multi_level_kps"][l], feat, train=train)
+                                  s["multi_level_kps"][l], feat,
+                                  train=train, fused=fused)
             new_s["multi_level_kps"][l] = {}
             out["kps"].append(kps)
     return out, new_s

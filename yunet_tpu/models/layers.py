@@ -145,10 +145,24 @@ def conv_dp_unit_init(key, cin: int, cout: int,
 
 
 def conv_dp_unit(p: Params, s: State, x: jnp.ndarray, *,
-                 train: bool = False) -> Tuple[jnp.ndarray, State]:
-    x = conv2d(x, p["conv1"]["w"], p["conv1"]["b"])
-    x = conv2d(x, p["conv2"]["w"], p["conv2"]["b"], padding=1,
-               depthwise=True)
+                 train: bool = False,
+                 fused: bool = False) -> Tuple[jnp.ndarray, State]:
+    if fused:
+        # single Pallas kernel (pw matmul + dw stencil, custom VJP) —
+        # keeps the pointwise intermediate out of HBM in both directions
+        from ..ops.convdp_train_pallas import fused_pw_dw
+        # adaptive row block: sub-32-channel tensors are lane-padded to
+        # 128 in VMEM, so the Mosaic stack is ~8x larger per band row —
+        # use narrow bands there to stay inside the VMEM budget
+        cin = p["conv1"]["w"].shape[-2]
+        cout = p["conv1"]["w"].shape[-1]
+        rb = 32 if min(cin, cout) >= 32 else 8
+        x = fused_pw_dw(x, p["conv1"]["w"], p["conv1"]["b"],
+                        p["conv2"]["w"], p["conv2"]["b"], rb)
+    else:
+        x = conv2d(x, p["conv1"]["w"], p["conv1"]["b"])
+        x = conv2d(x, p["conv2"]["w"], p["conv2"]["b"], padding=1,
+                   depthwise=True)
     if "bn" in p:
         x, new_bn = batch_norm(x, p["bn"], s["bn"], train=train)
         return relu(x), {"bn": new_bn}
@@ -169,11 +183,13 @@ def conv_head_init(key, cin: int, cmid: int,
 
 
 def conv_head(p: Params, s: State, x: jnp.ndarray, *,
-              train: bool = False) -> Tuple[jnp.ndarray, State]:
+              train: bool = False,
+              fused: bool = False) -> Tuple[jnp.ndarray, State]:
     x = conv2d(x, p["conv1"]["w"], p["conv1"]["b"], stride=2, padding=1)
     x, new_bn1 = batch_norm(x, p["bn1"], s["bn1"], train=train)
     x = relu(x)
-    x, new_conv2 = conv_dp_unit(p["conv2"], s["conv2"], x, train=train)
+    x, new_conv2 = conv_dp_unit(p["conv2"], s["conv2"], x, train=train,
+                                fused=fused)
     return x, {"bn1": new_bn1, "conv2": new_conv2}
 
 
@@ -190,7 +206,10 @@ def conv4layer_block_init(key, cin: int, cout: int,
 
 
 def conv4layer_block(p: Params, s: State, x: jnp.ndarray, *,
-                     train: bool = False) -> Tuple[jnp.ndarray, State]:
-    x, n1 = conv_dp_unit(p["conv1"], s["conv1"], x, train=train)
-    x, n2 = conv_dp_unit(p["conv2"], s["conv2"], x, train=train)
+                     train: bool = False,
+                     fused: bool = False) -> Tuple[jnp.ndarray, State]:
+    x, n1 = conv_dp_unit(p["conv1"], s["conv1"], x, train=train,
+                         fused=fused)
+    x, n2 = conv_dp_unit(p["conv2"], s["conv2"], x, train=train,
+                         fused=fused)
     return x, {"conv1": n1, "conv2": n2}

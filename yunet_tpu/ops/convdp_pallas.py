@@ -54,6 +54,13 @@ def _kernel(relu: bool, rows: int, h: int, w: int, cout: int,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+def pad_for_bands(x, rows: int, n_blocks: int, h: int):
+    """Zero-pad: 1-px halo left/right/top, bottom to one EXTRA row block so
+    'block j+1' always exists (used by the banded training kernels)."""
+    total_rows = (n_blocks + 1) * rows
+    return jnp.pad(x, ((0, 0), (1, total_rows - h - 1), (1, 1), (0, 0)))
+
+
 @functools.partial(jax.jit, static_argnames=("relu", "row_block"))
 def fused_conv_dp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
                   wd: jnp.ndarray, bd: jnp.ndarray, *, relu: bool = True,
@@ -89,6 +96,8 @@ def fused_conv_dp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
         out_specs=pl.BlockSpec((1, rows, w, cout),
                                lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(xp, w1.astype(jnp.float32), b1.reshape(1, cout).astype(jnp.float32),
       wd, bd.reshape(1, cout).astype(jnp.float32))

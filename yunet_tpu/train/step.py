@@ -90,7 +90,8 @@ def loss_fn(model: YuNet, cfg: Config, params, state,
     images = batch["image"]
     if cfg.train.bf16:
         images = images.astype(jnp.bfloat16)
-    flat, new_state = model.forward_flat(params, state, images, train=True)
+    flat, new_state = model.forward_flat(params, state, images, train=True,
+                                         fused=cfg.train.fused_kernels)
     cls_l = flat["cls"].astype(jnp.float32)       # (B, P, C)
     obj_l = flat["obj"][..., 0].astype(jnp.float32)  # (B, P)
     bbox_p = flat["bbox"].astype(jnp.float32)     # (B, P, 4)
