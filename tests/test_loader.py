@@ -105,6 +105,26 @@ def test_epoch_indices_shard_disjoint(tiny_dataset):
         assert not set(a[step]) & set(b[step])
 
 
+def test_loader_resume_continues_stream(tiny_dataset):
+    """start_step=k reproduces exactly the batches a fresh loader would
+    emit from step k (epoch offset + per-sample seed continuity)."""
+    ann, prefix = tiny_dataset
+    spec = SampleSpec(img_size=96, max_gts=8, crop_choice=(0.5,),
+                      flip_ratio=0.5)
+    a = TrainLoader(ann, prefix, batch_size=4, spec=spec, num_workers=0,
+                    seed=1)
+    it = iter(a)
+    stream = [next(it) for _ in range(5)]
+    a.close()
+    b = TrainLoader(ann, prefix, batch_size=4, spec=spec, num_workers=0,
+                    seed=1, start_step=3)
+    itb = iter(b)
+    resumed = [next(itb) for _ in range(2)]
+    b.close()
+    np.testing.assert_array_equal(stream[3]["image"], resumed[0]["image"])
+    np.testing.assert_array_equal(stream[4]["image"], resumed[1]["image"])
+
+
 def test_device_prefetch_order():
     src = [{"x": np.full((2,), i, np.float32)} for i in range(5)]
     out = list(device_prefetch(iter(src), depth=2))

@@ -55,7 +55,7 @@ class TrainLoader:
                  num_workers: int = 4, seed: int = 0,
                  min_size: Optional[float] = None,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, start_step: int = 0):
         self.dataset = WiderFaceDataset(ann_file, img_prefix, spec,
                                         min_size=min_size)
         self.batch_size = batch_size          # per-host batch
@@ -71,6 +71,7 @@ class TrainLoader:
                 initargs=(ann_file, img_prefix, spec, min_size))
         else:
             _worker_init(ann_file, img_prefix, spec, min_size)
+        self._start_step = start_step
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._producer, daemon=True)
@@ -90,10 +91,17 @@ class TrainLoader:
         return idx[:, self.process_index, :]  # (steps, per-host batch)
 
     def _producer(self):
-        epoch = 0
-        step_global = 0
+        # resume mid-training at the right epoch/step (the DataLoader
+        # counterpart of DistSamplerSeedHook's epoch-seeded reshuffle)
+        epoch = self._start_step // self.steps_per_epoch
+        skip = self._start_step % self.steps_per_epoch
+        step_global = self._start_step
         while not self._stop.is_set():
-            for batch_idx in self._epoch_indices(epoch):
+            batches = self._epoch_indices(epoch)
+            if skip:
+                batches = batches[skip:]
+                skip = 0
+            for batch_idx in batches:
                 seeds = [(int(i), self.seed + 1000003 * step_global + j)
                          for j, i in enumerate(batch_idx)]
                 if self._pool is not None:

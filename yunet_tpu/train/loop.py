@@ -49,6 +49,16 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
     logger.info("environment:\n" + env_string())
     n_dev = mesh.size if mesh is not None else 1
 
+    if resume_from is None and auto_resume:
+        resume_from = find_latest_checkpoint(work_dir)
+    resume_step = 0
+    if resume_from:
+        import json
+        import os
+        meta_path = os.path.join(resume_from, "meta.json")
+        if os.path.exists(meta_path):
+            resume_step = json.load(open(meta_path)).get("step", 0)
+
     if loader is None:
         spec = SampleSpec(img_size=cfg.data.img_size,
                           max_gts=cfg.data.max_gts,
@@ -60,7 +70,7 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
             spec=spec, num_workers=cfg.data.workers, seed=cfg.train.seed,
             min_size=cfg.data.min_size,
             process_index=jax.process_index(),
-            process_count=jax.process_count())
+            process_count=jax.process_count(), start_step=resume_step)
     steps_per_epoch = loader.steps_per_epoch
     total_batch = cfg.data.samples_per_device * n_dev * jax.process_count()
 
@@ -74,8 +84,6 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
     ts, tx = init_train_state(cfg, steps_per_epoch=steps_per_epoch,
                               total_batch=total_batch,
                               params=init_params, state=init_state)
-    if resume_from is None and auto_resume:
-        resume_from = find_latest_checkpoint(work_dir)
     if resume_from:
         ts, meta = load_checkpoint(resume_from, ts)
         logger.info(f"resumed from {resume_from} at step {int(ts.step)}")
