@@ -33,10 +33,25 @@ def test_resize_img_modes():
 
 
 def test_detect_host_vs_device_nms(yunet_n_pth):
-    det = init_detector("yunet_n", yunet_n_pth)
+    import dataclasses
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.eval import Detector
+    from yunet_tpu.utils import load_pth_params
+    cfg = yunet_n()
+    cfg = dataclasses.replace(cfg, test=dataclasses.replace(
+        cfg.test, score_thr=0.01))
+    params, state = load_pth_params(yunet_n_pth)
+    det = Detector(cfg, params, state)
     img = _img(96, 128, seed=1)
     a = det.detect(img, score_thr=0.01, use_device_nms=False)
     b = det.detect(img, score_thr=0.01, use_device_nms=True)
+    # a lower per-call threshold than the compiled one must raise
+    with pytest.raises(ValueError):
+        det.detect(img, score_thr=0.005, use_device_nms=True)
+    # a higher one is an exact post-filter
+    c = det.detect(img, score_thr=0.05, use_device_nms=True)
+    d = det.detect(img, score_thr=0.05, use_device_nms=False)
+    assert c["bboxes"].shape == d["bboxes"].shape
     assert a["bboxes"].shape == b["bboxes"].shape
     np.testing.assert_allclose(a["bboxes"], b["bboxes"], rtol=1e-4,
                                atol=1e-3)

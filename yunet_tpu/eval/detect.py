@@ -184,6 +184,17 @@ class Detector:
             dets, keep = np.asarray(dets), np.asarray(keep)
             sel = dets[keep]
             kps_sel = np.asarray(kps_sorted)[keep]
+            # the compiled program bakes in cfg.test.score_thr; a HIGHER
+            # per-call threshold is exact as a post-NMS filter (below-thr
+            # boxes can only suppress other below-thr boxes)
+            if score_thr > self.cfg.test.score_thr:
+                m = sel[:, 4] >= score_thr
+                sel, kps_sel = sel[m], kps_sel[m]
+            elif score_thr < self.cfg.test.score_thr:
+                raise ValueError(
+                    "device-NMS path cannot lower score_thr below "
+                    f"cfg.test.score_thr={self.cfg.test.score_thr}; "
+                    "rebuild the Detector with a lower config threshold")
         else:
             scores, boxes, kps = self._raw_fn(h, w)(
                 self.params, self.state, x)
