@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--gt-dir", default=None)
     p.add_argument("--out", default=None,
                    help="dump per-image txt predictions here")
+    p.add_argument("--bucket", type=int, default=32,
+                   help="origin-size pad divisor; larger values bucket "
+                   "the distinct input shapes into fewer TPU programs "
+                   "(reference pads /32)")
     p.add_argument("--eval-log", default="./eval.log")
     p.add_argument("--limit", type=int, default=0,
                    help="evaluate only the first N images (debug)")
@@ -79,7 +83,7 @@ def main():
         img = cv2.imread(os.path.join(img_prefix, rec.filename))
         if img is None:
             raise SystemExit(f"missing image {rec.filename}")
-        out = det.detect(img, mode=mode)
+        out = det.detect(img, mode=mode, pad_divisor=args.bucket)
         bb = out["bboxes"]
         # xyxy -> xywh rows for the official protocol
         xywh = np.concatenate(

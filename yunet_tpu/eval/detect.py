@@ -30,26 +30,26 @@ from ..ops.priors import grid_priors
 from .. import native
 
 
-def resize_img(img: np.ndarray, mode: Union[str, Tuple[int, int]]
-               ) -> Tuple[np.ndarray, float]:
-    """Reference tools/detect_image.py:99-132 preprocessing modes."""
+def resize_img(img: np.ndarray, mode: Union[str, Tuple[int, int]],
+               divisor: int = 32) -> Tuple[np.ndarray, float]:
+    """Reference tools/detect_image.py:99-132 preprocessing modes.
+
+    ``divisor`` controls the zero-pad granularity of ORIGIN/AUTO. The
+    reference pads to /32; on TPU every distinct padded shape is a separate
+    compiled program, so a larger divisor (e.g. 128/256) buckets the WIDER
+    val origin-size sweep into far fewer compilations. Extra padding is
+    zeros, which the score threshold rejects — AP-neutral in practice.
+    """
     import cv2
 
-    if mode == "ORIGIN":
-        det_img, det_scale = img, 1.0
-        h = -(-img.shape[0] // 32) * 32
-        w = -(-img.shape[1] // 32) * 32
+    if mode in ("ORIGIN", "AUTO"):
+        h = -(-img.shape[0] // divisor) * divisor
+        w = -(-img.shape[1] // divisor) * divisor
         if (h, w) != img.shape[:2]:
             padded = np.zeros((h, w, 3), dtype=img.dtype)
             padded[:img.shape[0], :img.shape[1]] = img
-            det_img = padded
-        return det_img, det_scale
-    if mode == "AUTO":
-        h = ((img.shape[0] - 1) & (-32)) + 32
-        w = ((img.shape[1] - 1) & (-32)) + 32
-        det_img = np.zeros((h, w, 3), dtype=img.dtype)
-        det_img[:img.shape[0], :img.shape[1]] = img
-        return det_img, 1.0
+            img = padded
+        return img, 1.0
     if mode == "VGA":
         input_size = (640, 480)
     elif isinstance(mode, str):
@@ -165,7 +165,8 @@ class Detector:
                mode: Union[str, Tuple[int, int]] = "AUTO", *,
                score_thr: Optional[float] = None,
                use_device_nms: bool = False,
-               max_dets: Optional[int] = None) -> Dict[str, np.ndarray]:
+               max_dets: Optional[int] = None,
+               pad_divisor: int = 32) -> Dict[str, np.ndarray]:
         """Detect faces in one BGR uint8/float image.
 
         Returns dict: bboxes (n,5) [x1 y1 x2 y2 score] in original image
@@ -173,7 +174,7 @@ class Detector:
         """
         score_thr = (self.cfg.test.score_thr if score_thr is None
                      else score_thr)
-        det_img, det_scale = resize_img(img_bgr, mode)
+        det_img, det_scale = resize_img(img_bgr, mode, pad_divisor)
         x = jnp.asarray(det_img[None].astype(np.float32))
         h, w = det_img.shape[:2]
 
