@@ -16,7 +16,7 @@ corners) before mirroring x (transforms.py:473-486). Flip maps x -> w - x
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -15,7 +15,6 @@ preprocessing (tools/detect_image.py:99-132):
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple, Union
 
 import jax

@@ -15,14 +15,13 @@ onnx_reader + a numerical-parity interpreter in tests.
 
 from __future__ import annotations
 
-import struct
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import numpy as np
 
 from ..config import ModelConfig
 from .cpp_export import fold_conv_bn
-from .proto import Message, encode_message, encode_varint, f32
+from .proto import Message, encode_message, f32
 
 
 def _attr_int(name: str, v: int) -> bytes:

@@ -13,7 +13,7 @@ out-channel signature of the conv sequence.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import numpy as np
 

@@ -8,7 +8,7 @@ used by Detector(fused=True) for serving.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

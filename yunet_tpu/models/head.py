@@ -8,7 +8,7 @@ train/; the head here is a pure forward. Outputs are NHWC maps.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

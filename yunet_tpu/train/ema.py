@@ -13,7 +13,6 @@ matching skip_buffers=False).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax

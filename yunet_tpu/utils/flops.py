@@ -87,6 +87,5 @@ def count_macs(cfg: ModelConfig, input_size: Tuple[int, int] = (320, 320)
 
 
 def count_params(cfg: ModelConfig) -> int:
-    import jax
     from ..models.detector import YuNet
     return YuNet(cfg).num_params
