@@ -83,20 +83,22 @@ def numpy_decode_yunet(outputs, input_hw, score_thr=0.02, nms_thr=0.45):
 
 
 class OnnxEngine:
+    """Runs a .onnx via onnxruntime when installed, else via the
+    framework's compiled ONNX-on-TPU executor (OnnxExecutor)."""
+
     def __init__(self, path):
         self.path = path
         self.ort = None
         try:
             import onnxruntime as ort
             self.ort = ort.InferenceSession(path)
+            shape = self.ort.get_inputs()[0].shape
         except ImportError:
-            from yunet_tpu.export import read_onnx
-            from onnx_interp import run_graph
-            self.graph = read_onnx(path)
-            self._run = run_graph
-            shape = self.graph.input_shapes["input"]
-            self.hw = (shape[2], shape[3]) \
-                if isinstance(shape[2], int) else (320, 320)
+            from yunet_tpu.export.onnx_runtime import OnnxExecutor
+            self.executor = OnnxExecutor(path)
+            shape = self.executor.input_shape
+        self.hw = ((shape[2], shape[3]) if isinstance(shape[2], int)
+                   else (320, 320))
 
     def detect(self, img_bgr):
         import cv2
@@ -107,7 +109,7 @@ class OnnxEngine:
             names = [o.name for o in self.ort.get_outputs()]
             outs = dict(zip(names, self.ort.run(None, {"input": x})))
         else:
-            outs = self._run(self.graph, {"input": x})
+            outs = self.executor(x)
         return numpy_decode_yunet(outs, (h, w))
 
 
