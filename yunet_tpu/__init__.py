@@ -31,8 +31,22 @@ def enable_compilation_cache(path: str = None) -> None:
     """
     import jax
 
-    path = path or _os.path.join(
-        _os.path.dirname(_os.path.abspath(__file__)), "..", ".jax_cache")
+    if path is None:
+        # Key the cache dir by host CPU identity: the repo dir (and thus a
+        # shared cache) can move between machines, and XLA:CPU AOT artifacts
+        # compiled for another host's CPU features can SIGILL when loaded.
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((ln for ln in f if ln.startswith("flags")), "")
+        except OSError:
+            flags = ""
+        import platform
+        key = hashlib.sha1(
+            (platform.machine() + flags).encode()).hexdigest()[:12]
+        path = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "..",
+            ".jax_cache", key)
     try:
         jax.config.update("jax_compilation_cache_dir",
                           _os.path.abspath(path))
