@@ -96,6 +96,30 @@ def test_lr_schedule_reference_recipe():
     assert scale_lr(0.01, 128) == pytest.approx(0.04)
 
 
+def test_auto_scale_lr_off_by_default():
+    # Reference parity: mmdet only rescales LR when auto_scale_lr is
+    # explicitly enabled (mmdet/apis/train.py:71-114); the shipped configs
+    # don't, so batch 16 on one chip must still use the base lr.
+    from yunet_tpu.train.step import make_optimizer
+
+    cfg = _small_cfg()
+    assert cfg.train.auto_scale_lr is False
+
+    # compare one SGD update magnitude: with wd=0, momentum=0, update = -lr*g
+    base = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, weight_decay=0.0, momentum=0.0, warmup_iters=0,
+            grad_clip=0.0))
+    scaled = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, auto_scale_lr=True))
+    for c, want in ((base, 0.01), (scaled, 0.01 * 16 / 32)):
+        tx = make_optimizer(c, steps_per_epoch=10, total_batch=16)
+        params = {"w": jnp.ones((4,))}
+        st = tx.init(params)
+        upd, _ = tx.update({"w": jnp.ones((4,))}, st, params)
+        np.testing.assert_allclose(np.asarray(upd["w"]), -want, rtol=1e-6)
+
+
 def test_bn_stats_update_in_train():
     cfg = _small_cfg()
     model = YuNet(cfg.model)

@@ -102,6 +102,10 @@ class TrainConfig:
 
     lr: float = 0.01
     base_total_batch: int = 32  # 2 GPUs x 16 in the reference recipe
+    # Linear LR scaling from base_total_batch. Off by default to match the
+    # reference: mmdet only rescales when auto_scale_lr is explicitly
+    # enabled (mmdet/apis/train.py:71-114), and the shipped configs don't.
+    auto_scale_lr: bool = False
     momentum: float = 0.9
     weight_decay: float = 5e-4
     warmup_iters: int = 1500

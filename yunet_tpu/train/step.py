@@ -50,7 +50,8 @@ class TrainState(NamedTuple):
 
 def make_optimizer(cfg: Config, steps_per_epoch: int, total_batch: int
                    ) -> optax.GradientTransformation:
-    lr = scale_lr(cfg.train.lr, total_batch, cfg.train.base_total_batch)
+    lr = (scale_lr(cfg.train.lr, total_batch, cfg.train.base_total_batch)
+          if cfg.train.auto_scale_lr else cfg.train.lr)
     sched = lr_schedule(
         lr, steps_per_epoch=steps_per_epoch,
         warmup_iters=cfg.train.warmup_iters,
