@@ -2,6 +2,7 @@
 loss primitives vs torch."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -154,3 +155,38 @@ def test_eiou_properties():
         (10 * 10) / (10 * 10.4))
     l = float(eiou(almost, same)[0])
     np.testing.assert_allclose(l, 0.5 * x * x / 0.1, rtol=1e-3)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_eiou_matches_reference_formula(seed):
+    """Differential gate vs a torch transcription of the reference
+    eiou_loss (iou_loss.py:194-227) — values AND gradients."""
+    import torch
+    from ref_oracles import ref_eiou
+
+    rng = np.random.RandomState(seed)
+    n = 256
+    c = rng.uniform(-20, 120, (n, 2))
+    wh = rng.uniform(0.5, 80, (n, 2))
+    pred = np.concatenate([c - wh / 2, c + wh / 2], -1).astype(np.float32)
+    c2 = c + rng.uniform(-25, 25, (n, 2))
+    wh2 = wh * rng.uniform(0.3, 3.0, (n, 2))
+    target = np.concatenate([c2 - wh2 / 2, c2 + wh2 / 2],
+                            -1).astype(np.float32)
+    # include exact-match and fully-disjoint rows
+    target[0] = pred[0]
+    target[1] = pred[1] + 500.0
+
+    got = np.asarray(eiou(jnp.asarray(pred), jnp.asarray(target),
+                          smooth_point=0.1, eps=1e-6))
+    tp = torch.from_numpy(pred).requires_grad_(True)
+    want = ref_eiou(tp, torch.from_numpy(target), 0.1, 1e-6)
+    np.testing.assert_allclose(got, want.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+    # gradient parity (sum reduction)
+    g = np.asarray(jax.grad(
+        lambda p: eiou(p, jnp.asarray(target),
+                       smooth_point=0.1, eps=1e-6).sum())(jnp.asarray(pred)))
+    want.sum().backward()
+    np.testing.assert_allclose(g, tp.grad.numpy(), rtol=1e-4, atol=1e-5)
