@@ -89,6 +89,57 @@ def test_our_onnx_roundtrip_matches_model(yunet_n_pth):
     os.unlink(path)
 
 
+def test_reference_dynamic_onnx_matches_jax(yunet_n_pth):
+    """The shipped dynamic-axes export (yunet2onnx.py:95-113) executes at
+    two different input shapes through OnnxExecutor (incl. the torch
+    Shape/Gather/Unsqueeze/Concat reshape subgraphs) and matches the JAX
+    model at each shape."""
+    from yunet_tpu.export.onnx_runtime import OnnxExecutor
+    path = os.path.join(REF_ONNX, "yunet_n_dynamic.onnx")
+    if not os.path.exists(path):
+        pytest.skip("reference onnx unavailable")
+    ex = OnnxExecutor(path)
+    assert any(isinstance(d, str) for d in ex.input_shape)  # symbolic dims
+    cfg = yunet_n()
+    model = YuNet(cfg.model)
+    params, state = load_pth_params(yunet_n_pth)
+    rng = np.random.RandomState(2)
+    for h, w in ((160, 160), (256, 320)):
+        img = rng.randint(0, 256, (1, 3, h, w)).astype(np.float32)
+        got = ex(img)
+        want = _flat_ref_outputs(model, params, state,
+                                 np.transpose(img, (0, 2, 3, 1)))
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-2,
+                                       atol=2e-4, err_msg=f"{k}@{h}x{w}")
+
+
+def test_our_dynamic_onnx_roundtrip_two_shapes(yunet_n_pth):
+    """export_onnx(dynamic=True) -> one OnnxExecutor run at two shapes."""
+    from yunet_tpu.export.onnx_runtime import OnnxExecutor
+    cfg = yunet_n()
+    model = YuNet(cfg.model)
+    params, state = load_pth_params(yunet_n_pth)
+    blob = export_onnx(params, state, cfg.model, dynamic=True)
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".onnx", delete=False) as f:
+        f.write(blob)
+        path = f.name
+    ex = OnnxExecutor(path)
+    assert ex.input_shape == ["batch", 3, "height", "width"]
+    rng = np.random.RandomState(3)
+    for h, w in ((160, 160), (96, 128)):
+        img = rng.randint(0, 256, (1, 3, h, w)).astype(np.float32)
+        got = ex(img)
+        want = _flat_ref_outputs(model, params, state,
+                                 np.transpose(img, (0, 2, 3, 1)))
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-3,
+                                       atol=1e-4, err_msg=f"{k}@{h}x{w}")
+    os.unlink(path)
+
+
 def test_our_onnx_same_structure_as_reference(yunet_n_pth):
     """Same op histogram and output shapes as the shipped export."""
     from collections import Counter

@@ -80,7 +80,10 @@ def _tensor(msg) -> np.ndarray:
             arr = np.asarray(data, np.int64)
     else:
         arr = np.zeros(0, dt)
-    return arr.reshape(dims) if dims else arr
+    # dims == [] is a genuine 0-d scalar tensor (e.g. torch's Gather
+    # indices in dynamic-axes exports) — reshape unconditionally so rank
+    # semantics of downstream ops (Gather/Unsqueeze) are correct.
+    return arr.reshape(tuple(dims)) if arr.size else arr.reshape(dims or [0])
 
 
 def _tensor_name(msg) -> str:

@@ -8,7 +8,11 @@ ONNX-on-TPU runtime for this model family. Also used as the oracle in the
 export round-trip tests (on CPU).
 
 Supported ops: Conv (grouped), Relu, Sigmoid, MaxPool(2x2/2),
-Resize(nearest 2x), Add, Transpose, Reshape, Identity, Concat.
+Resize(nearest 2x), Add, Transpose, Reshape, Identity, Concat, plus the
+shape-computation subgraphs torch emits for dynamic-axes exports
+(Shape, Gather, Unsqueeze — reference onnx/yunet_n_dynamic.onnx). Under
+jit, shapes are static per compiled program, so Shape lowers to a host
+constant and the whole subgraph folds away at trace time.
 """
 
 from __future__ import annotations
@@ -72,9 +76,30 @@ def run_graph(g: OnnxGraph, feeds: Dict[str, jnp.ndarray]
             out = jnp.reshape(jnp.asarray(ins[0]), shape)
         elif op == "Identity":
             out = ins[0]
+        elif op == "Shape":
+            out = np.asarray(jnp.shape(ins[0]), np.int64)
+        elif op == "Gather":
+            # np.generic covers the 0-d-scalar results of shape gathers —
+            # they must stay host-side so Reshape targets remain static
+            # under jit (a jnp op here would stage a tracer).
+            axis = node.attrs.get("axis", 0)
+            data, idx = ins[0], np.asarray(ins[1])
+            out = (np.take(data, idx, axis=axis)
+                   if isinstance(data, (np.ndarray, np.generic))
+                   else jnp.take(data, jnp.asarray(idx), axis=axis))
+        elif op == "Unsqueeze":
+            out = ins[0]
+            for ax in sorted(node.attrs["axes"]):
+                out = (np.expand_dims(out, ax)
+                       if isinstance(out, (np.ndarray, np.generic))
+                       else jnp.expand_dims(out, ax))
         elif op == "Concat":
-            out = jnp.concatenate([jnp.asarray(v) for v in ins],
-                                  axis=node.attrs.get("axis", 0))
+            axis = node.attrs.get("axis", 0)
+            out = (np.concatenate(ins, axis=axis)
+                   if all(isinstance(v, (np.ndarray, np.generic))
+                          for v in ins)
+                   else jnp.concatenate([jnp.asarray(v) for v in ins],
+                                        axis=axis))
         else:
             raise NotImplementedError(f"onnx op {op}")
         env[node.outputs[0]] = out
