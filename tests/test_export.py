@@ -199,6 +199,30 @@ def test_onnx_weight_import_our_export(yunet_n_pth):
     assert folded["head"]["0"]["kps"]["wd"].shape == (3, 3, 1, 10)
 
 
+def test_tflite_export_parity(yunet_n_pth):
+    """export_tflite -> tf.lite.Interpreter == JAX model (reference
+    tools/yunet2tflite.py parity, conversion via tf.lite instead of
+    TinyNN). Uses a small input to keep conversion quick."""
+    tf = pytest.importorskip("tensorflow")
+    del tf
+    from yunet_tpu.export.tflite_export import export_tflite, run_tflite
+
+    cfg = yunet_n()
+    model = YuNet(cfg.model)
+    params, state = load_pth_params(yunet_n_pth)
+    blob = export_tflite(params, state, cfg.model, input_shape=(96, 128))
+    assert len(blob) > 100_000  # real flatbuffer with weights
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (1, 3, 96, 128)).astype(np.float32)
+    got = run_tflite(blob, img)
+    want = _flat_ref_outputs(model, params, state,
+                             np.transpose(img, (0, 2, 3, 1)))
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-3, atol=1e-4,
+                                   err_msg=k)
+
+
 def test_fold_conv_bn_numerics():
     import jax
     from yunet_tpu.models.layers import (batch_norm, conv2d,
