@@ -1,0 +1,140 @@
+"""CLI-level end-to-end test of the headline protocol
+(tools/test_widerface.py main(), reference tools/test_widerface.py:48-183).
+
+No WIDER images exist in this environment, so the fixture uses the
+"GT = the detector's own predictions" scheme: run the Detector on synthetic
+images with the real yunet_n weights at a low threshold, write those
+detections as the ground-truth .mat set, then drive the CLI main() over the
+same images — every detection is then a perfect TP and AP must be ~1.0.
+This exercises labelv2 parsing, image IO, detect (both letterboxed mode 0
+and origin-size mode 2 with --bucket), the xywh protocol conversion, the
+--out txt dump, wider_evaluation, and the AutoRank eval log.
+"""
+
+import dataclasses
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from test_eval import _make_gt_dir
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+N_IMAGES = 2
+THR = 0.001
+
+
+@pytest.fixture(scope="module")
+def wider_fixture(tmp_path_factory, yunet_n_pth):
+    """Synthetic two-image WIDER-val directory tree + loaded detector."""
+    import cv2
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.eval import Detector
+    from yunet_tpu.utils import load_pth_params
+
+    root = tmp_path_factory.mktemp("mini_wider")
+    img_dir = root / "images" / "0--Ev"
+    img_dir.mkdir(parents=True)
+    rng = np.random.RandomState(7)
+    shapes = [(160, 200), (208, 144)]
+    lines = []
+    for j in range(N_IMAGES):
+        h, w = shapes[j]
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert cv2.imwrite(str(img_dir / f"img{j}.png"), img)
+        lines.append(f"# 0--Ev/img{j}.png {w} {h}")
+    (root / "labelv2.txt").write_text("\n".join(lines) + "\n")
+
+    cfg = yunet_n()
+    cfg = dataclasses.replace(cfg, test=dataclasses.replace(
+        cfg.test, score_thr=THR))
+    params, state = load_pth_params(yunet_n_pth)
+    det = Detector(cfg, params, state)
+    return root, det
+
+
+def _build_gt_from_detections(root, det, mode, tag):
+    """Run the library detector and write its predictions as GT .mat."""
+    import cv2
+
+    imgs = []
+    for j in range(N_IMAGES):
+        img = cv2.imread(str(root / "images" / "0--Ev" / f"img{j}.png"))
+        out = det.detect(img, mode=mode, pad_divisor=32)
+        bb = out["bboxes"]
+        assert len(bb) > 0, "fixture needs at least one detection"
+        xywh = np.concatenate([bb[:, :2], bb[:, 2:4] - bb[:, :2]], axis=1)
+        imgs.append((xywh.astype(np.float64), list(range(1, len(bb) + 1))))
+    gt_dir = root / f"gt_{tag}"
+    gt_dir.mkdir(exist_ok=True)
+    return _make_gt_dir(gt_dir, {"0--Ev": imgs})
+
+
+@pytest.mark.parametrize("mode_flag,mode", [(0, (640, 640)),
+                                            (2, "ORIGIN")])
+def test_widerface_cli_end_to_end(wider_fixture, yunet_n_pth, tmp_path,
+                                  mode_flag, mode):
+    root, det = wider_fixture
+    gt_dir = _build_gt_from_detections(root, det, mode, f"m{mode_flag}")
+
+    import test_widerface as cli
+
+    out_dir = tmp_path / "dump"
+    eval_log = tmp_path / "eval.log"
+    aps = cli.main([
+        "yunet_n", yunet_n_pth,
+        "--mode", str(mode_flag),
+        "--thr", str(THR),
+        "--ann", str(root / "labelv2.txt"),
+        "--img-prefix", str(root / "images"),
+        "--gt-dir", gt_dir,
+        "--out", str(out_dir),
+        "--eval-log", str(eval_log),
+    ])
+    assert len(aps) == 3
+    for ap in aps:
+        assert ap > 0.99, aps
+
+    # --out txt dump: official per-image format
+    txts = sorted((out_dir / "0--Ev").glob("*.txt"))
+    assert len(txts) == N_IMAGES
+    lines = txts[0].read_text().splitlines()
+    assert lines[0] == "0--Ev/img0.jpg" or lines[0].startswith("0--Ev/img0")
+    assert int(lines[1]) == len(lines) - 2  # count header matches rows
+    assert len(lines[2].split()) == 5       # x y w h score
+
+    # AutoRank eval log written
+    assert eval_log.exists() and "easy" in eval_log.read_text()
+
+
+def test_train_cli_with_eval_hook(wider_fixture, tmp_path):
+    """tools/train.py --eval-interval wires a WIDER eval hook into the
+    loop (reference EvalHook, eval_hooks.py:24-130): a 4-step smoke train
+    must run the protocol at the final step and log val metrics."""
+    import json
+
+    root, det = wider_fixture
+    gt_dir = _build_gt_from_detections(root, det, "ORIGIN", "train_hook")
+
+    import train as train_cli
+
+    work = tmp_path / "work"
+    train_cli.main([
+        "yunet_n", "--smoke", "--single-device", "--max-steps", "4",
+        "--work-dir", str(work),
+        "--cfg-options", "data.img_size=160", "data.max_gts=16",
+        "train.log_interval=2", f"test.score_thr={THR}",
+        "--eval-interval", "80",
+        "--eval-mode", "2",
+        "--eval-ann", str(root / "labelv2.txt"),
+        "--eval-img-prefix", str(root / "images"),
+        "--eval-gt-dir", gt_dir,
+    ])
+    recs = [json.loads(ln) for ln in
+            (work / "metrics.jsonl").read_text().splitlines()]
+    vals = [r for r in recs if r.get("mode") == "val"]
+    assert vals, "no val metrics logged"
+    assert {"easy", "medium", "hard"} <= set(vals[-1])

@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Evaluate on WIDER Face val")
     p.add_argument("config", help="yunet_n | yunet_s")
     p.add_argument("checkpoint")
@@ -37,11 +37,11 @@ def parse_args():
     p.add_argument("--eval-log", default="./eval.log")
     p.add_argument("--limit", type=int, default=0,
                    help="evaluate only the first N images (debug)")
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
-def main():
-    args = parse_args()
+def main(argv=None):
+    args = parse_args(argv)
     import cv2
     import dataclasses
     import numpy as np
@@ -111,6 +111,7 @@ def main():
     AutoRank(args.eval_log).update(
         {"easy": aps[0], "medium": aps[1], "hard": aps[2]},
         tag=f"{args.config} mode={args.mode} ckpt={args.checkpoint}")
+    return aps
 
 
 if __name__ == "__main__":

@@ -22,7 +22,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Train a YuNet face detector")
     p.add_argument("config", help="preset name (yunet_n | yunet_s) or path "
                    "to a python file defining get()")
@@ -47,11 +47,22 @@ def parse_args():
                    help="20 steps on synthetic data (no dataset needed)")
     p.add_argument("--cfg-options", nargs="*", default=[],
                    help="dotted config overrides, e.g. train.lr=0.02")
-    return p.parse_args()
+    p.add_argument("--eval-interval", type=int, default=0,
+                   help="run WIDER val AP every N epochs (0 = off; the "
+                   "reference EvalHook interval, configs/yunet_n.py:146)")
+    p.add_argument("--eval-mode", type=int, default=2,
+                   help="eval protocol mode as in tools/test_widerface.py "
+                   "(0: 640x640, 2: origin size)")
+    p.add_argument("--eval-limit", type=int, default=0,
+                   help="eval only the first N val images (0 = all)")
+    p.add_argument("--eval-ann", default=None)
+    p.add_argument("--eval-img-prefix", default=None)
+    p.add_argument("--eval-gt-dir", default=None)
+    return p.parse_args(argv)
 
 
-def main():
-    args = parse_args()
+def main(argv=None):
+    args = parse_args(argv)
     if args.distributed:
         import jax
         jax.distributed.initialize()
@@ -86,10 +97,20 @@ def main():
                                  * n_dev)
         max_steps = max_steps or 20
 
-    fit(cfg, work_dir=args.work_dir, resume_from=args.resume_from,
-        auto_resume=args.auto_resume, load_pth=args.load_pth,
-        max_steps=max_steps, mesh=mesh, loader=loader,
-        sample_stats=args.sample_stats)
+    eval_hook = None
+    if args.eval_interval > 0:
+        from yunet_tpu.eval import make_wider_eval_hook
+        eval_hook = make_wider_eval_hook(
+            cfg, mode=(640, 640) if args.eval_mode == 0 else "ORIGIN",
+            ann=args.eval_ann, img_prefix=args.eval_img_prefix,
+            gt_dir=args.eval_gt_dir, limit=args.eval_limit)
+
+    return fit(cfg, work_dir=args.work_dir, resume_from=args.resume_from,
+               auto_resume=args.auto_resume, load_pth=args.load_pth,
+               max_steps=max_steps, mesh=mesh, loader=loader,
+               eval_hook=eval_hook,
+               eval_interval_epochs=args.eval_interval,
+               sample_stats=args.sample_stats)
 
 
 if __name__ == "__main__":

@@ -1,4 +1,6 @@
 from .detect import Detector, resize_img
 from .widerface import wider_evaluation, eval_map
+from .eval_hook import make_wider_eval_hook
 
-__all__ = ["Detector", "resize_img", "wider_evaluation", "eval_map"]
+__all__ = ["Detector", "resize_img", "wider_evaluation", "eval_map",
+           "make_wider_eval_hook"]

@@ -1,0 +1,71 @@
+"""Eval-during-training: WIDER Face val AP hook.
+
+Counterpart of the reference's EvalHook/DistEvalHook registration
+(mmdet/core/evaluation/eval_hooks.py:24-130, enabled by
+configs/yunet_n.py:146): every N epochs the training loop calls the hook,
+which runs the full WIDER val protocol on the *current* parameters (EMA
+parameters when EMA is enabled, matching the reference's evaluated model)
+and returns {easy, medium, hard} APs. The loop logs them to train.log and
+metrics.jsonl under the ``val`` prefix.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from ..config import Config
+from ..data.labelv2 import parse_labelv2
+from .detect import Detector
+from .widerface import wider_evaluation
+
+
+def make_wider_eval_hook(cfg: Config, *,
+                         mode: Union[str, Tuple[int, int]] = "ORIGIN",
+                         ann: Optional[str] = None,
+                         img_prefix: Optional[str] = None,
+                         gt_dir: Optional[str] = None,
+                         pad_divisor: int = 32,
+                         limit: int = 0,
+                         use_ema: bool = True):
+    """Build an ``(train_state, step) -> {'easy','medium','hard'}`` hook.
+
+    limit: evaluate only the first N val images (0 = all) — useful to keep
+    in-training eval cheap; the reported APs then cover that subset.
+    """
+    import cv2
+
+    ann = ann or cfg.data.val_ann
+    img_prefix = img_prefix or cfg.data.val_img_prefix
+    gt_dir = gt_dir or cfg.data.gt_dir
+    records = parse_labelv2(ann, test_mode=True)
+    if limit:
+        records = records[:limit]
+    det = Detector(cfg)  # params swapped in per call
+
+    def hook(ts, step):
+        params = (ts.ema_params
+                  if use_ema and ts.ema_params is not None else ts.params)
+        import jax
+        import jax.numpy as jnp
+        det.params = jax.tree.map(jnp.asarray, params)
+        det.state = jax.tree.map(jnp.asarray, ts.state)
+        results = {}
+        for rec in records:
+            img = cv2.imread(os.path.join(img_prefix, rec.filename))
+            if img is None:
+                raise FileNotFoundError(rec.filename)
+            out = det.detect(img, mode=mode, pad_divisor=pad_divisor)
+            bb = out["bboxes"]
+            xywh = np.concatenate(
+                [bb[:, :2], bb[:, 2:4] - bb[:, :2], bb[:, 4:5]], axis=1)
+            event, name = rec.filename.split("/")
+            results.setdefault(event, {})[
+                os.path.splitext(name)[0]] = xywh.astype(np.float64)
+        easy, medium, hard = wider_evaluation(results, gt_dir)
+        return {"easy": float(easy), "medium": float(medium),
+                "hard": float(hard)}
+
+    return hook

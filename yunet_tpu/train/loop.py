@@ -150,7 +150,10 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
                     meta={"config": cfg.model.name})
                 logger.info(f"saved checkpoint {path}")
         if (eval_hook is not None and eval_interval_epochs > 0
-                and step % (eval_interval_epochs * steps_per_epoch) == 0):
+                and (step % (eval_interval_epochs * steps_per_epoch) == 0
+                     or step == total_steps)):
+            # also fire on the final step — the reference EvalHook always
+            # evaluates at the end of training (eval_hooks.py:24-130)
             ev = eval_hook(ts, step)
             logger.info(f"eval @ step {step}: {ev}")
             metrics_log.log(step, ev, prefix="val")
