@@ -127,3 +127,101 @@ def test_data_root_env_override(monkeypatch):
     cfg = get_config("yunet_n")
     assert cfg.data.train_ann.startswith("/custom/root/")
     assert cfg.data.val_img_prefix.startswith("/custom/root/")
+
+
+def test_cutout_fills_holes():
+    from yunet_tpu.data.aug_extra import cutout
+    rng = np.random.RandomState(0)
+    img = np.full((64, 64, 3), 200.0, np.float32)
+    out = cutout(img, rng, n_holes=(2, 2), candidates=[(0.2, 0.2)],
+                 with_ratio=True, fill_in=(7, 7, 7))
+    assert img.min() == 200.0  # input untouched
+    assert (out == 7).any() and (out == 200).any()
+    # every modified pixel is exactly the fill value
+    changed = out != 200
+    assert np.all(out[changed.any(-1)] == 7)
+
+
+def test_random_affine_identity_and_scale():
+    from yunet_tpu.data.aug_extra import random_affine
+    rng = np.random.RandomState(3)
+    img = np.zeros((80, 80, 3), np.float32)
+    img[20:40, 20:40] = 255
+    boxes = np.asarray([[20, 20, 40, 40]], np.float32)
+    kps = np.zeros((1, 5, 3), np.float32)
+    kps[..., 0] = 30
+    kps[..., 1] = 30
+    kps[..., 2] = 1
+    # all magnitudes zero -> exact passthrough
+    out, b, k = random_affine(img, boxes, kps, rng,
+                              max_rotate_degree=0, max_translate_ratio=0,
+                              scaling_ratio_range=(1, 1),
+                              max_shear_degree=0)
+    np.testing.assert_allclose(out, img)
+    np.testing.assert_allclose(b, boxes)
+    np.testing.assert_allclose(k, kps)
+    # pure 1.5x scale about the origin
+    out, b, k = random_affine(img, boxes, kps, rng,
+                              max_rotate_degree=0, max_translate_ratio=0,
+                              scaling_ratio_range=(1.5, 1.5),
+                              max_shear_degree=0)
+    np.testing.assert_allclose(b, boxes * 1.5)
+    np.testing.assert_allclose(k[..., :2], 45.0)
+    assert k[..., 2].all()
+
+
+def test_random_affine_kp_visibility_zeroed_outside():
+    from yunet_tpu.data.aug_extra import random_affine
+    rng = np.random.RandomState(0)
+    img = np.zeros((40, 40, 3), np.float32)
+    boxes = np.asarray([[2, 2, 20, 20]], np.float32)
+    kps = np.zeros((1, 5, 3), np.float32)
+    kps[..., 0] = 3
+    kps[..., 1] = 3
+    kps[..., 2] = 1
+    # 0.2x scale pushes nothing out; translation is 0 — shrink keeps all in
+    out, b, k = random_affine(img, boxes, kps, rng,
+                              max_rotate_degree=0, max_translate_ratio=0,
+                              scaling_ratio_range=(3.0, 3.0),
+                              max_shear_degree=0)
+    # 3x scale pushes the box partly out; kps at 9,9 stay visible
+    assert k.shape[0] == b.shape[0]
+    if k.size:
+        assert k[..., 2].all()
+
+
+def test_mixup_blends_and_appends_annotations():
+    from yunet_tpu.data.aug_extra import mixup
+    rng = np.random.RandomState(1)
+    img = np.zeros((100, 100, 3), np.float32)
+    boxes = np.asarray([[5, 5, 15, 15]], np.float32)
+    kps = np.zeros((1, 5, 3), np.float32)
+    kps[..., 2] = 1
+    mix_img = np.full((100, 100, 3), 200.0, np.float32)
+    mix_boxes = np.asarray([[10, 10, 50, 50]], np.float32)
+    mix_kps = np.zeros((1, 5, 3), np.float32)
+    mix_kps[..., 0] = 30
+    mix_kps[..., 1] = 30
+    mix_kps[..., 2] = 1
+    out, b, k = mixup(img, boxes, kps, mix_img, mix_boxes, mix_kps, rng,
+                      img_scale=(100, 100), ratio_range=(1.0, 1.0),
+                      flip_ratio=1.0)  # uniform > 1.0 never true: no flip
+    # 0.5 * 0 + 0.5 * 200 = 100 everywhere (canvas exactly covered)
+    np.testing.assert_allclose(out, 100.0)
+    assert b.shape[0] == 2
+    np.testing.assert_allclose(b[1], mix_boxes[0])
+    np.testing.assert_allclose(k[1, :, :2], 30.0)
+    assert k[1, :, 2].all()
+
+
+def test_mixup_empty_mix_boxes_is_identity():
+    from yunet_tpu.data.aug_extra import mixup
+    rng = np.random.RandomState(0)
+    img = np.zeros((50, 50, 3), np.float32)
+    boxes = np.asarray([[1, 1, 9, 9]], np.float32)
+    kps = np.zeros((1, 5, 3), np.float32)
+    out, b, k = mixup(img, boxes, kps, np.full((50, 50, 3), 99.0),
+                      np.zeros((0, 4), np.float32),
+                      np.zeros((0, 5, 3), np.float32), rng)
+    np.testing.assert_allclose(out, img)
+    assert b.shape[0] == 1

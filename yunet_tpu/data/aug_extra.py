@@ -189,3 +189,181 @@ def mosaic4(samples, rng: np.random.RandomState, *, out_size: int = 1280,
     kps = (np.concatenate(all_k) if all_k
            else np.zeros((0, 5, 3), np.float32))
     return canvas, bboxes, kps
+
+
+def cutout(img: np.ndarray, rng: np.random.RandomState, *,
+           n_holes=(1, 3), candidates=((0.05, 0.05), (0.1, 0.1)),
+           with_ratio: bool = True, fill_in=(0, 0, 0)) -> np.ndarray:
+    """CutOut (reference transforms.py:2144-2206): drop n random regions.
+
+    candidates: list of (w, h) shapes in pixels (with_ratio=False) or
+    fractions of the image size (with_ratio=True); hole top-left is sampled
+    anywhere on the image and the extent clipped.
+    """
+    img = img.copy()
+    h, w = img.shape[:2]
+    lo, hi = (n_holes if isinstance(n_holes, (tuple, list))
+              else (n_holes, n_holes))
+    for _ in range(rng.randint(lo, hi + 1)):
+        x1 = rng.randint(0, w)
+        y1 = rng.randint(0, h)
+        cw, ch = candidates[rng.randint(0, len(candidates))]
+        if with_ratio:
+            cw, ch = int(cw * w), int(ch * h)
+        img[y1:min(y1 + int(ch), h), x1:min(x1 + int(cw), w)] = fill_in
+    return img
+
+
+def _affine_matrices(rng: np.random.RandomState, height: int, width: int, *,
+                     max_rotate_degree: float, scaling_ratio_range,
+                     max_shear_degree: float, max_translate_ratio: float):
+    """translate @ shear @ rotate @ scale, the reference composition
+    (transforms.py:2858-2883)."""
+    ang = np.radians(rng.uniform(-max_rotate_degree, max_rotate_degree))
+    rot = np.array([[np.cos(ang), -np.sin(ang), 0],
+                    [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    s = rng.uniform(*scaling_ratio_range)
+    scale = np.diag([s, s, 1]).astype(np.float32)
+    shx = np.tan(np.radians(rng.uniform(-max_shear_degree,
+                                        max_shear_degree)))
+    shy = np.tan(np.radians(rng.uniform(-max_shear_degree,
+                                        max_shear_degree)))
+    shear = np.array([[1, shx, 0], [shy, 1, 0], [0, 0, 1]], np.float32)
+    tx = rng.uniform(-max_translate_ratio, max_translate_ratio) * width
+    ty = rng.uniform(-max_translate_ratio, max_translate_ratio) * height
+    trans = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float32)
+    return trans @ shear @ rot @ scale, s
+
+
+def random_affine(img: np.ndarray, bboxes: np.ndarray, kps: np.ndarray,
+                  rng: np.random.RandomState, *,
+                  max_rotate_degree: float = 10.0,
+                  max_translate_ratio: float = 0.1,
+                  scaling_ratio_range=(0.5, 1.5),
+                  max_shear_degree: float = 2.0,
+                  border_val=(114, 114, 114)):
+    """RandomAffine (reference transforms.py:2787-2949), keypoint-aware.
+
+    Boxes are warped as 4-corner hulls (min/max of the warped corners),
+    clipped, and kept when their center stays inside; keypoints get the
+    same homography, with visibility zeroed for points warped outside.
+    Returns (img, bboxes, kps).
+    """
+    import cv2
+
+    h, w = img.shape[:2]
+    m, _ = _affine_matrices(
+        rng, h, w, max_rotate_degree=max_rotate_degree,
+        scaling_ratio_range=scaling_ratio_range,
+        max_shear_degree=max_shear_degree,
+        max_translate_ratio=max_translate_ratio)
+    out = cv2.warpPerspective(img, m, dsize=(w, h), borderValue=border_val)
+    if not bboxes.shape[0]:
+        return out, bboxes, kps
+
+    n = bboxes.shape[0]
+    xs = bboxes[:, [0, 0, 2, 2]].reshape(-1)
+    ys = bboxes[:, [1, 3, 3, 1]].reshape(-1)
+    pts = np.vstack([xs, ys, np.ones_like(xs)])
+    wp = m @ pts
+    wp = wp[:2] / wp[2]
+    wx = wp[0].reshape(n, 4)
+    wy = wp[1].reshape(n, 4)
+    wb = np.stack([wx.min(1), wy.min(1), wx.max(1), wy.max(1)], 1)
+    wb[:, [0, 2]] = wb[:, [0, 2]].clip(0, w)
+    wb[:, [1, 3]] = wb[:, [1, 3]].clip(0, h)
+    # find_inside_bboxes: center within the canvas
+    cx = (wb[:, 0] + wb[:, 2]) / 2
+    cy = (wb[:, 1] + wb[:, 3]) / 2
+    keep = (cx > 0) & (cy > 0) & (cx < w) & (cy < h) \
+        & (wb[:, 2] > wb[:, 0]) & (wb[:, 3] > wb[:, 1])
+
+    wk = kps.copy()
+    if wk.size:
+        kpts = np.concatenate(
+            [wk[..., :2].reshape(-1, 2).T, np.ones((1, n * wk.shape[1]))])
+        wpk = m @ kpts
+        wpk = wpk[:2] / wpk[2]
+        wk[..., 0] = wpk[0].reshape(n, -1)
+        wk[..., 1] = wpk[1].reshape(n, -1)
+        outside = ((wk[..., 0] < 0) | (wk[..., 0] > w)
+                   | (wk[..., 1] < 0) | (wk[..., 1] > h))
+        wk[..., 2] = np.where(outside, 0.0, wk[..., 2])
+        wk[..., 0] = wk[..., 0].clip(0, w)
+        wk[..., 1] = wk[..., 1].clip(0, h)
+    return out, wb[keep].astype(np.float32), wk[keep].astype(np.float32)
+
+
+def mixup(img, bboxes, kps, mix_img, mix_bboxes, mix_kps,
+          rng: np.random.RandomState, *, img_scale=(640, 640),
+          ratio_range=(0.5, 1.5), flip_ratio: float = 0.5,
+          pad_val: float = 114.0):
+    """MixUp (reference transforms.py:2523-2755), keypoint-aware.
+
+    The retrieved image is keep-ratio-resized onto an img_scale canvas,
+    scale-jittered, maybe flipped, random-cropped to the target size, and
+    blended 0.5/0.5; its boxes/kps get the same resize/flip/offset chain
+    (flip also reorders landmarks like RandomFlip). Returns
+    (img, bboxes, kps) with the retrieved annotations appended (boxes whose
+    centers fall outside are dropped).
+    """
+    import cv2
+
+    from .transforms import KPS_FLIP_ORDER
+
+    if mix_bboxes.shape[0] == 0:
+        return img, bboxes, kps
+
+    jit = rng.uniform(*ratio_range)
+    do_flip = rng.uniform(0, 1) > flip_ratio
+
+    canvas = np.full((img_scale[0], img_scale[1], 3), pad_val, np.float32)
+    r = min(img_scale[0] / mix_img.shape[0], img_scale[1] / mix_img.shape[1])
+    resized = cv2.resize(mix_img.astype(np.float32),
+                         (int(mix_img.shape[1] * r),
+                          int(mix_img.shape[0] * r)))
+    canvas[:resized.shape[0], :resized.shape[1]] = resized
+    r *= jit
+    canvas = cv2.resize(canvas, (int(canvas.shape[1] * jit),
+                                 int(canvas.shape[0] * jit)))
+    if do_flip:
+        canvas = canvas[:, ::-1]
+
+    oh, ow = canvas.shape[:2]
+    th, tw = img.shape[:2]
+    padded = np.zeros((max(oh, th), max(ow, tw), 3), np.float32)
+    padded[:oh, :ow] = canvas
+    yo = rng.randint(0, padded.shape[0] - th + 1) \
+        if padded.shape[0] > th else 0
+    xo = rng.randint(0, padded.shape[1] - tw + 1) \
+        if padded.shape[1] > tw else 0
+    crop = padded[yo:yo + th, xo:xo + tw]
+    out = 0.5 * img.astype(np.float32) + 0.5 * crop
+
+    b = mix_bboxes.astype(np.float32) * r
+    k = mix_kps.astype(np.float32).copy()
+    k[..., :2] *= r
+    b[:, [0, 2]] = b[:, [0, 2]].clip(0, ow)
+    b[:, [1, 3]] = b[:, [1, 3]].clip(0, oh)
+    if do_flip:
+        b[:, [0, 2]] = ow - b[:, [2, 0]]
+        k[..., 0] = ow - k[..., 0]
+        k = k[:, KPS_FLIP_ORDER, :]
+    b[:, [0, 2]] -= xo
+    b[:, [1, 3]] -= yo
+    k[..., 0] -= xo
+    k[..., 1] -= yo
+    b[:, [0, 2]] = b[:, [0, 2]].clip(0, tw)
+    b[:, [1, 3]] = b[:, [1, 3]].clip(0, th)
+    outside = ((k[..., 0] < 0) | (k[..., 0] > tw)
+               | (k[..., 1] < 0) | (k[..., 1] > th))
+    k[..., 2] = np.where(outside, 0.0, k[..., 2])
+    k[..., 0] = k[..., 0].clip(0, tw)
+    k[..., 1] = k[..., 1].clip(0, th)
+    cx = (b[:, 0] + b[:, 2]) / 2
+    cy = (b[:, 1] + b[:, 3]) / 2
+    keep = (cx > 0) & (cy > 0) & (cx < tw) & (cy < th) \
+        & (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+    bboxes = np.concatenate([bboxes, b[keep]]).astype(np.float32)
+    kps = np.concatenate([kps, k[keep]]).astype(np.float32)
+    return out, bboxes, kps
