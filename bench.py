@@ -1,18 +1,27 @@
 #!/usr/bin/env python
-"""Benchmark: end-to-end detect throughput at 320x320 on one TPU chip.
+"""Benchmark: detect + train throughput for YuNet-n on one TPU chip.
 
 Baseline: the reference README's headline inference number — 456 FPS for
 YuNet-n at 320x320 through ONNXRuntime on an i7-12700K CPU
-(README.md:140-147, harness tools/compare_inference.py). The measured path
-here is the same work: full forward + score fusion + decode + NMS, batch 1,
-on one TPU chip, with pipelined dispatch (queue depth amortizes the host
-round-trip the way any serving loop would).
+(README.md:140-147, harness tools/compare_inference.py). The measured
+batch-1 path is the same work: full forward + score fusion + decode + NMS,
+with pipelined dispatch (queue depth amortizes the host round-trip the way
+any serving loop would).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. The headline value is the MEDIAN of the measurement
+windows (typical, not best-of); the "extra" field carries the rest of the
+perf story: best window, batched serving throughput (batch 16, on-device
+NMS), train-step throughput at 640^2 (batch 16/64), and a roofline note
+(achieved TFLOP/s and MFU — YuNet is a 75k-param depthwise net, so it is
+HBM-bandwidth-bound, not MXU-bound; MFU is reported for scale, not as the
+optimization target).
+
+Env: YUNET_BENCH_FAST=1 skips the train-step section (detect only).
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -20,6 +29,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_FPS = 456.0  # reference README.md:146 (i7-12700K, ORT, 320x320)
 REF_PTH = "/root/reference/weights/yunet_n.pth"
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
+def _measure_windows(dispatch, block, iters, windows, gap=0.5):
+    """N async dispatches + one final barrier per window; returns img/s
+    per window (tunnel contention makes single windows noisy)."""
+    vals = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = dispatch()
+        block(out)
+        vals.append(iters / (time.perf_counter() - t0))
+        time.sleep(gap)
+    return vals
 
 
 def main():
@@ -31,6 +56,7 @@ def main():
     from yunet_tpu.eval.detect import Detector
     from yunet_tpu.models import YuNet
 
+    fast = bool(os.environ.get("YUNET_BENCH_FAST"))
     cfg = yunet_n()
     model = YuNet(cfg.model)
     if os.path.exists(REF_PTH):
@@ -39,46 +65,131 @@ def main():
     else:
         params, state = model.init(jax.random.PRNGKey(0))
 
+    extra = {}
+    rng = np.random.RandomState(0)
+
+    # ---- batch-1 detect @320^2 (the baseline-comparable number) ----------
     # fused=True: BN-folded trunk with the Pallas pw->dw->relu kernel
     det = Detector(cfg, params, state, bf16=True, fused=True)
     fn = det._nms_fn(320, 320, 512)
-    params_d = det.params
-    state_d = det.state
-
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randint(0, 256, (1, 320, 320, 3))
-                    .astype(np.float32))
-
-    # warmup / compile
-    out = fn(params_d, state_d, x)
+    p_d, s_d = det.params, det.state
+    x1 = jnp.asarray(rng.randint(0, 256, (1, 320, 320, 3))
+                     .astype(np.float32))
+    jax.block_until_ready(fn(p_d, s_d, x1))          # compile
+    for _ in range(50):                              # pipeline warmup
+        out = fn(p_d, s_d, x1)
     jax.block_until_ready(out)
+    w1 = _measure_windows(lambda: fn(p_d, s_d, x1), jax.block_until_ready,
+                          iters=300, windows=8)
+    fps_typ = statistics.median(w1)
+    extra["detect_b1_windows_imgs_per_s"] = [round(v, 1) for v in w1]
+    extra["detect_b1_best_imgs_per_s"] = round(max(w1), 1)
 
-    # NOTE: any intermediate block_until_ready flushes the dispatch
-    # pipeline (on tunneled devices that costs a ~30ms round-trip), so the
-    # serving-loop throughput is measured as N async dispatches + one final
-    # barrier — the standard JAX microbenchmark shape. Best-of-3 windows
-    # damps transient contention on the shared device tunnel.
-    iters = 300
-    # warmup window (pipelining + caches)
-    for _ in range(50):
-        out = fn(params_d, state_d, x)
-    jax.block_until_ready(out)
-    fps = 0.0
-    for window in range(8):
-        out = None
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(params_d, state_d, x)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        fps = max(fps, iters / dt)
-        time.sleep(0.5)  # let transient tunnel contention pass
+    # ---- batched serving @320^2, batch 16: BN-folded trunk + vmapped
+    # on-device NMS in ONE compiled program. The folded trunk is ~6x the
+    # unfolded train-graph forward here, and vmap (not lax.map) lays the
+    # per-image NMS onto a batch grid instead of serializing 16 kernels.
+    from yunet_tpu.models.fused import fused_forward
+    from yunet_tpu.models.head import flatten_level_outputs
+    from yunet_tpu.ops.nms_pallas import pallas_nms
+    from yunet_tpu.ops.boxes import bbox_decode, kps_decode
+    from yunet_tpu.ops.priors import grid_priors
+    b = 16
+    sizes = model.featmap_sizes(320, 320)
+    priors = jnp.asarray(grid_priors(sizes, cfg.model.strides,
+                                     cfg.model.prior_offset))
+    folded = det._folded
+
+    @jax.jit
+    def serve_batch(x):
+        outs = fused_forward(folded, x.astype(jnp.bfloat16), cfg.model)
+        flat = flatten_level_outputs(outs)
+        cls = flat["cls"].astype(jnp.float32)
+        obj = flat["obj"][..., 0].astype(jnp.float32)
+        scores = jax.nn.sigmoid(cls[..., 0]) * jax.nn.sigmoid(obj)
+        boxes = bbox_decode(priors, flat["bbox"].astype(jnp.float32))
+        kps = kps_decode(priors, flat["kps"].astype(jnp.float32))
+
+        def one(bx, sc, kp):
+            dets, keep, idx = pallas_nms(
+                bx, sc, top_k=512, iou_thr=cfg.test.nms_iou_thr,
+                score_thr=cfg.test.score_thr)
+            return dets, keep, kp[idx]
+        return jax.vmap(one)(boxes, scores, kps)
+
+    xb = jnp.asarray(rng.randint(0, 256, (b, 320, 320, 3))
+                     .astype(np.float32))
+    jax.block_until_ready(serve_batch(xb))
+    for _ in range(10):
+        ob = serve_batch(xb)
+    jax.block_until_ready(ob)
+    wb = _measure_windows(lambda: serve_batch(xb),
+                          jax.block_until_ready, iters=60, windows=5)
+    extra["detect_b16_imgs_per_s"] = round(statistics.median(wb) * b, 1)
+    extra["detect_b16_best_imgs_per_s"] = round(max(wb) * b, 1)
+    extra["detect_b16_vs_baseline"] = round(
+        statistics.median(wb) * b / BASELINE_FPS, 3)
+
+    # ---- train step @640^2 (batch 16 / 64) -------------------------------
+    if not fast:
+        import dataclasses
+        from yunet_tpu.train import init_train_state, make_train_step
+        from yunet_tpu.utils.flops import count_macs
+
+        for tb in (16, 64):
+            tcfg = dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data, img_size=640,
+                                              max_gts=128))
+            ts, tx = init_train_state(tcfg, steps_per_epoch=1000,
+                                      total_batch=tb)
+            step = make_train_step(tcfg, model, tx, img_size=640)
+            g = tcfg.data.max_gts
+            c = rng.uniform(40, 600, (tb, g, 2)).astype(np.float32)
+            wh = rng.uniform(8, 120, (tb, g, 2)).astype(np.float32)
+            kps = np.concatenate(
+                [rng.uniform(20, 620, (tb, g, 5, 2)).astype(np.float32),
+                 np.ones((tb, g, 5, 1), np.float32)], -1)
+            batch = {
+                "image": jnp.asarray(rng.randint(
+                    0, 256, (tb, 640, 640, 3)).astype(np.float32)),
+                "gt_bboxes": jnp.asarray(
+                    np.concatenate([c - wh / 2, c + wh / 2], -1)),
+                "gt_labels": jnp.zeros((tb, g), jnp.int32),
+                "gt_kps": jnp.asarray(kps),
+                "gt_valid": jnp.asarray(
+                    np.tile(np.arange(g) < 12, (tb, 1))),
+            }
+            ts, m = step(ts, batch)                  # compile
+            jax.block_until_ready(m["loss"])
+            n_meas, best_sps = 10, 0.0
+            vals = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(n_meas):
+                    ts, m = step(ts, batch)
+                jax.block_until_ready(m["loss"])
+                vals.append(n_meas / (time.perf_counter() - t0))
+                time.sleep(0.3)
+            sps = statistics.median(vals)
+            extra[f"train_640_b{tb}_imgs_per_s"] = round(sps * tb, 1)
+            if tb == 64:
+                # fwd + bwd ~= 3x fwd MACs; 2 FLOPs per MAC
+                macs = count_macs(cfg.model, (640, 640))
+                tflops = sps * tb * macs * 3 * 2 / 1e12
+                extra["train_b64_achieved_tflops"] = round(tflops, 3)
+                extra["train_b64_mfu_pct"] = round(
+                    100 * tflops / V5E_PEAK_BF16_TFLOPS, 3)
+                extra["roofline_note"] = (
+                    "75k-param depthwise net: HBM-bandwidth-bound on a "
+                    "v5e (197 bf16 TFLOP/s peak); low MFU is structural, "
+                    "throughput is the target metric")
 
     print(json.dumps({
         "metric": "detect_fps_320x320_yunet_n",
-        "value": round(fps, 2),
+        "value": round(fps_typ, 2),
         "unit": "img/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps_typ / BASELINE_FPS, 3),
+        "extra": extra,
     }))
 
 

@@ -125,3 +125,74 @@ def test_pack_sample_overflow_keeps_largest():
     batch = pack_batch([s, s])
     assert batch["image"].shape == (2, 64, 64, 3)
     assert batch["gt_bboxes"].shape == (2, 4, 4)
+
+
+def _mini_jpeg_dataset(tmp_path, n=3, hw=(800, 1100)):
+    import cv2
+    img_dir = tmp_path / "images" / "0--Ev"
+    img_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    lines = []
+    for j in range(n):
+        h, w = hw
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"img{j}.jpg"), img)
+        faces = []
+        for _ in range(3):
+            x, y = rng.randint(0, w - 150), rng.randint(0, h - 150)
+            bw = rng.randint(30, 120)
+            kp = " ".join(f"{x + bw / 2:.1f} {y + bw / 2:.1f} 1.0"
+                          for _ in range(5))
+            faces.append(f"{x} {y} {x + bw} {y + bw} {kp}")  # xyxy
+        lines.append(f"# 0--Ev/img{j}.jpg {w} {h}\n" + "\n".join(faces))
+    ann = tmp_path / "labelv2.txt"
+    ann.write_text("\n".join(lines) + "\n")
+    return str(ann), str(tmp_path / "images")
+
+
+def test_decoded_cache_samples_identical(tmp_path):
+    """The mmap cache path must be bit-identical to direct JPEG decode:
+    it stores exactly the cv2-decoded array."""
+    from yunet_tpu.data.cache import build_decoded_cache
+    from yunet_tpu.data.dataset import SampleSpec, WiderFaceDataset
+
+    ann, img_prefix = _mini_jpeg_dataset(tmp_path)
+    cache_dir = str(tmp_path / "decoded")
+    n = build_decoded_cache(ann, img_prefix, cache_dir, verbose=False)
+    assert n == 3
+    assert build_decoded_cache(ann, img_prefix, cache_dir,
+                               verbose=False) == 0  # idempotent
+    spec = SampleSpec(img_size=320, max_gts=16)
+    ds_a = WiderFaceDataset(ann, img_prefix, spec)
+    ds_b = WiderFaceDataset(ann, img_prefix, spec, decoded_cache=cache_dir)
+    for i in range(3):
+        a = ds_a.get_train_sample(i, np.random.RandomState(100 + i))
+        b = ds_b.get_train_sample(i, np.random.RandomState(100 + i))
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_reduced_decode_valid_and_triggered(tmp_path):
+    """With a large image and a big crop scale the reduced path must pick
+    a >1 libjpeg reduction and still produce a valid in-bounds sample."""
+    from yunet_tpu.data.cache import pick_reduction
+    from yunet_tpu.data.dataset import SampleSpec, WiderFaceDataset
+
+    # crop = 1.5 * 1400 = 2100 px onto 640 -> reduction 2 applies
+    assert pick_reduction(1400, 1.5, 640) == 2
+    assert pick_reduction(640, 0.5, 640) == 1
+    assert pick_reduction(20000, 1.5, 640) == 8
+
+    ann, img_prefix = _mini_jpeg_dataset(tmp_path, n=2, hw=(1400, 1600))
+    spec = SampleSpec(img_size=640, max_gts=16, crop_choice=(1.5,))
+    ds = WiderFaceDataset(ann, img_prefix, spec, reduced_decode=True)
+    for i in range(2):
+        s = ds.get_train_sample(i, np.random.RandomState(7 + i))
+        assert s["image"].shape == (640, 640, 3)
+        v = s["gt_valid"]
+        assert v.any()
+        b = s["gt_bboxes"][v]
+        assert (b[:, :2] >= 0).all() and (b[:, 2:] <= 640).all()
+        assert (b[:, 2:] >= b[:, :2]).all()
+        k = s["gt_kps"][v]
+        assert (k[..., :2] >= 0).all() and (k[..., :2] <= 640).all()

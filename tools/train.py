@@ -65,7 +65,16 @@ def main(argv=None):
     args = parse_args(argv)
     if args.distributed:
         import jax
-        jax.distributed.initialize()
+        # Explicit coordinates from the dist_train.sh env when present;
+        # otherwise jax auto-detects (Slurm/GKE cluster plugins).
+        addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if addr:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(os.environ.get("JAX_NUM_PROCESSES", 1)),
+                process_id=int(os.environ.get("JAX_PROCESS_ID", 0)))
+        else:
+            jax.distributed.initialize()
     import jax
     import numpy as np
     from jax.sharding import Mesh
@@ -92,9 +101,11 @@ def main(argv=None):
     max_steps = args.max_steps
     if args.smoke:
         from smoke_data import SyntheticLoader  # noqa: local import
-        n_dev = mesh.size if mesh is not None else 1
+        # per-process batch: this host's shard of the global batch
+        n_local = (min(jax.local_device_count(), mesh.size)
+                   if mesh is not None else 1)
         loader = SyntheticLoader(cfg, batch_size=cfg.data.samples_per_device
-                                 * n_dev)
+                                 * n_local)
         max_steps = max_steps or 20
 
     eval_hook = None
@@ -105,12 +116,15 @@ def main(argv=None):
             ann=args.eval_ann, img_prefix=args.eval_img_prefix,
             gt_dir=args.eval_gt_dir, limit=args.eval_limit)
 
-    return fit(cfg, work_dir=args.work_dir, resume_from=args.resume_from,
-               auto_resume=args.auto_resume, load_pth=args.load_pth,
-               max_steps=max_steps, mesh=mesh, loader=loader,
-               eval_hook=eval_hook,
-               eval_interval_epochs=args.eval_interval,
-               sample_stats=args.sample_stats)
+    ts = fit(cfg, work_dir=args.work_dir, resume_from=args.resume_from,
+             auto_resume=args.auto_resume, load_pth=args.load_pth,
+             max_steps=max_steps, mesh=mesh, loader=loader,
+             eval_hook=eval_hook,
+             eval_interval_epochs=args.eval_interval,
+             sample_stats=args.sample_stats)
+    if args.distributed and jax.process_count() > 1:
+        jax.distributed.shutdown()
+    return ts
 
 
 if __name__ == "__main__":

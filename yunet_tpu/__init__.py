@@ -57,3 +57,20 @@ def enable_compilation_cache(path: str = None) -> None:
 
 if not _os.environ.get("YUNET_TPU_NO_CACHE"):
     enable_compilation_cache()
+
+
+def _honor_platform_env() -> None:
+    """Mirror JAX_PLATFORMS into jax.config: the axon PJRT plugin in this
+    image registers itself at interpreter start and wins over the env var,
+    so ``JAX_PLATFORMS=cpu python tools/...`` silently runs on the TPU
+    unless the platform is forced through the config."""
+    plat = _os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialized; too late to change
+
+
+_honor_platform_env()

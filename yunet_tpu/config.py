@@ -94,6 +94,11 @@ class DataConfig:
     samples_per_device: int = 16
     workers: int = 4
     min_size: float | None = None
+    # input-pipeline accelerators (data/cache.py): a decoded-image cache
+    # dir (one-time JPEG decode -> mmap'd raw arrays), and/or reduced
+    # libjpeg decode when the crop is downscaled anyway
+    decoded_cache: str | None = None
+    reduced_decode: bool = False
 
 
 @dataclass(frozen=True)

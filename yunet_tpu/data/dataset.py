@@ -31,21 +31,39 @@ class SampleSpec:
 class WiderFaceDataset:
     def __init__(self, ann_file: str, img_prefix: str, spec: SampleSpec,
                  *, min_size: Optional[float] = None,
-                 test_mode: bool = False):
+                 test_mode: bool = False,
+                 decoded_cache: Optional[str] = None,
+                 reduced_decode: bool = False):
+        """decoded_cache: dir of raw .npy images (data/cache.py) — loads
+        become mmaps and the crop touches only the pages it reads.
+        reduced_decode: when loading JPEGs whose crop will be downscaled
+        anyway, decode at 1/2-1/8 resolution (libjpeg scaled decode) —
+        same output resolution, a fraction of the decode cost."""
         self.records: List[Record] = parse_labelv2(
             ann_file, min_size=min_size, test_mode=test_mode)
         self.img_prefix = img_prefix
         self.spec = spec
         self.test_mode = test_mode
+        self.decoded_cache = decoded_cache
+        self.reduced_decode = reduced_decode
 
     def __len__(self) -> int:
         return len(self.records)
 
-    def load_image(self, rec: Record) -> np.ndarray:
+    def load_image(self, rec: Record, reduction: int = 1) -> np.ndarray:
         import cv2
 
+        if self.decoded_cache is not None:
+            from .cache import load_cached
+            img = load_cached(self.decoded_cache, rec.filename)
+            if img is not None:
+                return img
         path = os.path.join(self.img_prefix, rec.filename)
-        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if reduction > 1:
+            from .cache import reduced_imread
+            img = reduced_imread(path, reduction)
+        else:
+            img = cv2.imread(path, cv2.IMREAD_COLOR)
         if img is None:
             raise FileNotFoundError(path)
         return img
@@ -53,10 +71,31 @@ class WiderFaceDataset:
     def get_train_sample(self, idx: int,
                          rng: np.random.RandomState) -> Dict[str, np.ndarray]:
         rec = self.records[idx]
-        img = self.load_image(rec).astype(np.float32)
+        # Pre-draw the crop scale (same rng stream as drawing it inside
+        # random_square_crop) so the decode reduction can be chosen before
+        # the image is read.
+        scale = float(rng.choice(self.spec.crop_choice))
+        reduction = 1
+        if self.reduced_decode and self.decoded_cache is None:
+            from .cache import pick_reduction
+            reduction = pick_reduction(min(rec.width, rec.height), scale,
+                                       self.spec.img_size)
+        # keep uint8 (possibly an mmap) through the crop: the canvas paste
+        # reads only the crop window, and cv2.resize on uint8 matches the
+        # reference pipeline (mmcv resizes uint8; Normalize is identity)
+        img = self.load_image(rec, reduction)
         boxes, kps, ign = rec.bboxes, rec.kps, rec.bboxes_ignore
+        if reduction > 1:
+            sy = img.shape[0] / rec.height
+            sx = img.shape[1] / rec.width
+            s4 = np.asarray([sx, sy, sx, sy], np.float32)
+            boxes = boxes * s4
+            ign = ign * s4 if ign.size else ign
+            kps = kps.copy()
+            kps[:, :, 0] *= sx
+            kps[:, :, 1] *= sy
         img, boxes, kps, ign = random_square_crop(
-            img, boxes, kps, ign, self.spec.crop_choice, rng)
+            img, boxes, kps, ign, self.spec.crop_choice, rng, scale=scale)
         img, boxes, kps, ign = resize_with_targets(
             img, boxes, kps, ign,
             (self.spec.img_size, self.spec.img_size))

@@ -33,12 +33,14 @@ from .dataset import SampleSpec, WiderFaceDataset, pack_batch
 _worker_dataset: Optional[WiderFaceDataset] = None
 
 
-def _worker_init(ann_file, img_prefix, spec, min_size):
+def _worker_init(ann_file, img_prefix, spec, min_size,
+                 decoded_cache=None, reduced_decode=False):
     global _worker_dataset
     import cv2
     cv2.setNumThreads(0)  # one process = one stream of cv2 work
-    _worker_dataset = WiderFaceDataset(ann_file, img_prefix, spec,
-                                       min_size=min_size)
+    _worker_dataset = WiderFaceDataset(
+        ann_file, img_prefix, spec, min_size=min_size,
+        decoded_cache=decoded_cache, reduced_decode=reduced_decode)
 
 
 def _worker_sample(args):
@@ -55,22 +57,26 @@ class TrainLoader:
                  num_workers: int = 4, seed: int = 0,
                  min_size: Optional[float] = None,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 2, start_step: int = 0):
-        self.dataset = WiderFaceDataset(ann_file, img_prefix, spec,
-                                        min_size=min_size)
+                 prefetch: int = 2, start_step: int = 0,
+                 decoded_cache: Optional[str] = None,
+                 reduced_decode: bool = False):
+        self.dataset = WiderFaceDataset(
+            ann_file, img_prefix, spec, min_size=min_size,
+            decoded_cache=decoded_cache, reduced_decode=reduced_decode)
         self.batch_size = batch_size          # per-host batch
         self.seed = seed
         self.process_index = process_index
         self.process_count = process_count
         self.spec = spec
         self._pool = None
+        init_args = (ann_file, img_prefix, spec, min_size,
+                     decoded_cache, reduced_decode)
         if num_workers > 0:
             ctx = mp.get_context("fork")
             self._pool = ctx.Pool(
-                num_workers, initializer=_worker_init,
-                initargs=(ann_file, img_prefix, spec, min_size))
+                num_workers, initializer=_worker_init, initargs=init_args)
         else:
-            _worker_init(ann_file, img_prefix, spec, min_size)
+            _worker_init(*init_args)
         self._start_step = start_step
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
@@ -139,6 +145,14 @@ def device_prefetch(iterator, *, sharding=None, depth: int = 2):
 
     def _put(batch):
         if sharding is not None:
+            if not sharding.is_fully_addressable:
+                # multi-process mesh: each host holds only its shard of
+                # the global batch — assemble the global array from the
+                # per-process local data (the NCCL-free DDP equivalent)
+                import numpy as np
+                return jax.tree.map(
+                    lambda a: jax.make_array_from_process_local_data(
+                        sharding, np.asarray(a)), batch)
             return jax.device_put(batch, sharding)
         return jax.device_put(batch)
 

@@ -33,12 +33,20 @@ def _centers_in_patch(boxes: np.ndarray, patch: np.ndarray) -> np.ndarray:
 def random_square_crop(img: np.ndarray, bboxes: np.ndarray,
                        kps: np.ndarray, bboxes_ignore: np.ndarray,
                        crop_choice: Sequence[float],
-                       rng: np.random.RandomState):
-    """Returns (img, bboxes, kps, bboxes_ignore) for the cropped patch."""
+                       rng: np.random.RandomState, *,
+                       scale: float = None):
+    """Returns (img, bboxes, kps, bboxes_ignore) for the cropped patch.
+
+    ``scale`` lets the caller pre-draw the first scale from the same rng
+    (rng.choice(crop_choice)) — used by the reduced-JPEG-decode path,
+    which needs the scale before the image is loaded. The random stream
+    is identical either way.
+    """
     h, w = img.shape[:2]
     short_side = min(w, h)
     max_scale = max(crop_choice)
-    scale = float(rng.choice(crop_choice))
+    if scale is None:
+        scale = float(rng.choice(crop_choice))
     first = True
     while True:
         if not first and max_scale <= 1.0:

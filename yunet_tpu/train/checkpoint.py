@@ -18,6 +18,15 @@ import jax
 import numpy as np
 
 
+def to_host(x) -> np.ndarray:
+    """Fetch a (replicated) array to host numpy without collectives:
+    on a multi-process mesh, read this process's first addressable shard
+    (the full value for replicated arrays)."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        x = x.addressable_data(0)
+    return np.asarray(x)
+
+
 def _ckpt_dir(work_dir: str, step: int) -> str:
     return os.path.join(os.path.abspath(work_dir), f"ckpt_{step:08d}")
 
@@ -48,8 +57,18 @@ def save_checkpoint(work_dir: str, state, *, epoch: int,
             "opt_state": state.opt_state, "step": state.step}
     if state.ema_params is not None:
         tree["ema_params"] = state.ema_params
+    # Pull to host numpy first. Read the LOCAL shard via
+    # addressable_data(0): np.asarray on a non-fully-addressable array
+    # dispatches a cross-process collective fetch with its own rendezvous,
+    # while the local shard IS the full value for a replicated state.
+    # On a multi-process mesh every process must call save() — orbax
+    # runs an internal cross-process barrier — but only process 0 lands
+    # the tensor data and sidecar files.
+    tree = jax.tree.map(to_host, tree)
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
+    if jax.process_index() != 0:
+        return path
     info = {"step": step, "epoch": epoch,
             "version": "yunet_tpu-0.1", "classes": ["FG"],
             "git": _git_hash(), "time": __import__("time").strftime(

@@ -47,7 +47,11 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
     from ..utils.env import env_string, setup_multi_processes
     setup_multi_processes()
     logger.info("environment:\n" + env_string())
-    n_dev = mesh.size if mesh is not None else 1
+    n_dev = mesh.size if mesh is not None else 1   # global device count
+    # per-process device count: the loader must produce only this host's
+    # shard of the global batch (reference DistributedGroupSampler role)
+    n_local = (min(jax.local_device_count(), n_dev)
+               if mesh is not None else 1)
 
     if resume_from is None and auto_resume:
         resume_from = find_latest_checkpoint(work_dir)
@@ -66,13 +70,16 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
                           flip_ratio=cfg.data.flip_ratio)
         loader = TrainLoader(
             cfg.data.train_ann, cfg.data.train_img_prefix,
-            batch_size=cfg.data.samples_per_device * n_dev,
+            batch_size=cfg.data.samples_per_device * n_local,
             spec=spec, num_workers=cfg.data.workers, seed=cfg.train.seed,
             min_size=cfg.data.min_size,
             process_index=jax.process_index(),
-            process_count=jax.process_count(), start_step=resume_step)
+            process_count=jax.process_count(), start_step=resume_step,
+            decoded_cache=cfg.data.decoded_cache,
+            reduced_decode=cfg.data.reduced_decode)
     steps_per_epoch = loader.steps_per_epoch
-    total_batch = cfg.data.samples_per_device * n_dev * jax.process_count()
+    # n_dev is already the GLOBAL device count (mesh spans all processes)
+    total_batch = cfg.data.samples_per_device * n_dev
 
     init_params = init_state = None
     if load_pth:
@@ -108,21 +115,40 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
         from .hooks import SampleSizeStatistics
         stats = SampleSizeStatistics()
 
+    if jax.process_count() > 1:
+        # Align processes before the first (compile-heavy) step: startup
+        # skew larger than the collective-rendezvous deadline would make
+        # the fast process's first cross-host collective time out while
+        # the slow one is still compiling. The barrier also establishes
+        # the cross-host collective context cheaply up front.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("fit_start")
+
     it = device_prefetch(iter(loader), sharding=sharding)
     t_last = time.time()
     imgs_since = 0
     start_step = int(ts.step)
+    step_exec = step_fn
     for i in range(start_step, total_steps):
         batch = next(it)
         batch.pop("num_overflow", None)
         if stats is not None:
             stats.update(jax.device_get(
                 {k: batch[k] for k in ("gt_bboxes", "gt_valid")}))
-        ts, m = step_fn(ts, batch)
+        if i == start_step and jax.process_count() > 1:
+            # AOT-compile, THEN barrier, THEN dispatch: the first
+            # cross-host collective's rendezvous has a fixed deadline,
+            # and per-process compile times can diverge past it — align
+            # processes between compile and first execution.
+            from jax.experimental import multihost_utils
+            step_exec = step_fn.lower(ts, batch).compile()
+            multihost_utils.sync_global_devices("step_compiled")
+        ts, m = step_exec(ts, batch)
         imgs_since += total_batch
         step = i + 1
         if step % cfg.train.log_interval == 0 or step == total_steps:
-            m = jax.device_get(m)
+            from .checkpoint import to_host
+            m = jax.tree.map(to_host, m)  # local-shard fetch, collective-free
             loss = float(m["loss"])
             if not np.isfinite(loss):
                 raise FloatingPointError(
@@ -144,10 +170,12 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
             imgs_since = 0
         if (step % (cfg.train.checkpoint_interval * steps_per_epoch) == 0
                 or step == total_steps):
+            # ALL processes must call save (orbax synchronizes internally
+            # via a cross-process barrier); data/meta writes land once.
+            path = save_checkpoint(
+                work_dir, ts, epoch=step // steps_per_epoch,
+                meta={"config": cfg.model.name})
             if jax.process_index() == 0:
-                path = save_checkpoint(
-                    work_dir, ts, epoch=step // steps_per_epoch,
-                    meta={"config": cfg.model.name})
                 logger.info(f"saved checkpoint {path}")
         if (eval_hook is not None and eval_interval_epochs > 0
                 and (step % (eval_interval_epochs * steps_per_epoch) == 0
@@ -161,4 +189,9 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
         stats.dump(f"{work_dir}/sample_size_stats.json")
     loader.close()
     metrics_log.close()
+    if jax.process_count() > 1:
+        # don't let a fast process tear down the coordinator while another
+        # is still checkpointing/logging
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("fit_end")
     return ts
