@@ -138,3 +138,15 @@ def test_train_cli_with_eval_hook(wider_fixture, tmp_path):
     vals = [r for r in recs if r.get("mode") == "val"]
     assert vals, "no val metrics logged"
     assert {"easy", "medium", "hard"} <= set(vals[-1])
+
+
+def test_compare_inference_cli(wider_fixture, tmp_path, yunet_n_pth):
+    """tools/compare_inference.py main(): jax + onnx engines on one image,
+    both run and report (reference tools/compare_inference.py surface)."""
+    root, _ = wider_fixture
+    img = str(root / "images" / "0--Ev" / "img0.png")
+
+    import compare_inference as cli
+    cli.main(["--models", f"jax:yunet_n:{yunet_n_pth}",
+              "onnx:/root/reference/onnx/yunet_n_320_320.onnx",
+              "--image", img, "--iters", "2"])

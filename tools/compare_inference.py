@@ -138,12 +138,12 @@ def build_engine(spec):
     raise SystemExit(f"unknown engine spec {spec}")
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--models", nargs="+", required=True)
     p.add_argument("--image", required=True)
     p.add_argument("--iters", type=int, default=50)
-    args = p.parse_args()
+    args = p.parse_args(argv)
     import cv2
 
     img = cv2.imread(args.image)
