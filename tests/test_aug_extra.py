@@ -225,3 +225,88 @@ def test_mixup_empty_mix_boxes_is_identity():
                       np.zeros((0, 5, 3), np.float32), rng)
     np.testing.assert_allclose(out, img)
     assert b.shape[0] == 1
+
+
+class _Always(np.random.RandomState):
+    """rng whose rand() always passes prob gates and never negates."""
+    def rand(self, *a):
+        return 0.0 if not a else super().rand(*a)
+
+
+def test_autoaug_equalize_matches_pil():
+    from PIL import Image, ImageOps
+    from yunet_tpu.data.auto_augment import equalize
+    rng = _Always(0)
+    img = np.random.RandomState(1).randint(0, 200, (40, 60, 3)) \
+        .astype(np.float32)
+    got = equalize(img, rng, prob=1.0)
+    want = np.asarray(ImageOps.equalize(
+        Image.fromarray(img.astype(np.uint8))))
+    np.testing.assert_array_equal(got.astype(np.uint8), want)
+
+
+def test_autoaug_photometric_endpoints():
+    from yunet_tpu.data.auto_augment import (adjust_brightness,
+                                             adjust_color, adjust_contrast)
+    rng = _Always(0)
+    img = np.random.RandomState(2).randint(0, 256, (16, 16, 3)) \
+        .astype(np.float32)
+    # enhance_level_to_value(5) = 1.0 -> identity blend
+    np.testing.assert_allclose(adjust_brightness(img, rng, level=5), img)
+    np.testing.assert_allclose(adjust_color(img, rng, level=5), img)
+    np.testing.assert_allclose(adjust_contrast(img, rng, level=5), img)
+    # level 0 -> factor 0.1: brightness scales pixels by 0.1
+    np.testing.assert_allclose(
+        adjust_brightness(img, rng, level=0), np.clip(img * 0.1, 0, 255),
+        atol=1e-4)
+
+
+def test_autoaug_translate_moves_annotations():
+    from yunet_tpu.data.auto_augment import translate
+    rng = _Always(3)
+    img = np.zeros((100, 100, 3), np.float32)
+    img[10:20, 10:20] = 255
+    boxes = np.asarray([[10, 10, 20, 20]], np.float32)
+    kps = np.zeros((1, 5, 3), np.float32)
+    kps[..., :2] = 15
+    kps[..., 2] = 1
+    # level 10 * max_offset 250 = 250 is clipped out; use max_offset 30
+    out, b, k = translate(img, boxes, kps, rng, level=10, prob=1.0,
+                          max_translate_offset=30,
+                          random_negative_prob=0.0)
+    np.testing.assert_allclose(b, [[40, 10, 50, 20]])
+    np.testing.assert_allclose(k[0, :, 0], 45)
+    np.testing.assert_allclose(k[0, :, 1], 15)
+    assert out[15, 45, 0] == 255 and out[15, 15, 0] != 255
+
+
+def test_autoaug_rotate_and_shear_identity_at_level0():
+    from yunet_tpu.data.auto_augment import rotate, shear
+    rng = _Always(4)
+    img = np.random.RandomState(5).randint(0, 256, (32, 32, 3)) \
+        .astype(np.float32)
+    boxes = np.asarray([[4, 4, 20, 20]], np.float32)
+    kps = np.ones((1, 5, 3), np.float32) * 10
+    kps[..., 2] = 1
+    for fn in (rotate, shear):
+        out, b, k = fn(img, boxes, kps, rng, level=0, prob=1.0)
+        np.testing.assert_allclose(out, img, atol=1e-3)
+        np.testing.assert_allclose(b, boxes, atol=1e-4)
+        np.testing.assert_allclose(k, kps, atol=1e-4)
+
+
+def test_autoaug_policy_driver():
+    from yunet_tpu.data.auto_augment import auto_augment, default_policies
+    rng = np.random.RandomState(6)
+    img = np.random.RandomState(7).randint(0, 256, (64, 64, 3)) \
+        .astype(np.float32)
+    boxes = np.asarray([[8, 8, 40, 40], [20, 20, 50, 50]], np.float32)
+    kps = np.zeros((2, 5, 3), np.float32)
+    kps[..., :2] = 25
+    kps[..., 2] = 1
+    for _ in range(8):
+        out, b, k = auto_augment(img, boxes, kps, rng, default_policies())
+        assert out.shape == img.shape
+        assert b.shape[0] == k.shape[0]
+        if b.size:
+            assert (b[:, :2] >= 0).all() and (b[:, 2:] <= 64).all()

@@ -235,28 +235,16 @@ def _affine_matrices(rng: np.random.RandomState, height: int, width: int, *,
     return trans @ shear @ rot @ scale, s
 
 
-def random_affine(img: np.ndarray, bboxes: np.ndarray, kps: np.ndarray,
-                  rng: np.random.RandomState, *,
-                  max_rotate_degree: float = 10.0,
-                  max_translate_ratio: float = 0.1,
-                  scaling_ratio_range=(0.5, 1.5),
-                  max_shear_degree: float = 2.0,
-                  border_val=(114, 114, 114)):
-    """RandomAffine (reference transforms.py:2787-2949), keypoint-aware.
-
-    Boxes are warped as 4-corner hulls (min/max of the warped corners),
-    clipped, and kept when their center stays inside; keypoints get the
-    same homography, with visibility zeroed for points warped outside.
-    Returns (img, bboxes, kps).
-    """
+def warp_with_matrix(img: np.ndarray, bboxes: np.ndarray, kps: np.ndarray,
+                     m: np.ndarray, *, border_val=(114, 114, 114)):
+    """Apply a 3x3 homography to (img, boxes, kps): boxes are warped as
+    4-corner hulls (min/max of warped corners), clipped, and kept when
+    their center stays inside; keypoint visibility is zeroed for points
+    warped outside. Shared by random_affine and the auto_augment
+    geometric ops. Returns (img, bboxes, kps)."""
     import cv2
 
     h, w = img.shape[:2]
-    m, _ = _affine_matrices(
-        rng, h, w, max_rotate_degree=max_rotate_degree,
-        scaling_ratio_range=scaling_ratio_range,
-        max_shear_degree=max_shear_degree,
-        max_translate_ratio=max_translate_ratio)
     out = cv2.warpPerspective(img, m, dsize=(w, h), borderValue=border_val)
     if not bboxes.shape[0]:
         return out, bboxes, kps
@@ -292,6 +280,24 @@ def random_affine(img: np.ndarray, bboxes: np.ndarray, kps: np.ndarray,
         wk[..., 0] = wk[..., 0].clip(0, w)
         wk[..., 1] = wk[..., 1].clip(0, h)
     return out, wb[keep].astype(np.float32), wk[keep].astype(np.float32)
+
+
+def random_affine(img: np.ndarray, bboxes: np.ndarray, kps: np.ndarray,
+                  rng: np.random.RandomState, *,
+                  max_rotate_degree: float = 10.0,
+                  max_translate_ratio: float = 0.1,
+                  scaling_ratio_range=(0.5, 1.5),
+                  max_shear_degree: float = 2.0,
+                  border_val=(114, 114, 114)):
+    """RandomAffine (reference transforms.py:2787-2949), keypoint-aware.
+    Returns (img, bboxes, kps)."""
+    h, w = img.shape[:2]
+    m, _ = _affine_matrices(
+        rng, h, w, max_rotate_degree=max_rotate_degree,
+        scaling_ratio_range=scaling_ratio_range,
+        max_shear_degree=max_shear_degree,
+        max_translate_ratio=max_translate_ratio)
+    return warp_with_matrix(img, bboxes, kps, m, border_val=border_val)
 
 
 def mixup(img, bboxes, kps, mix_img, mix_bboxes, mix_kps,
