@@ -181,3 +181,42 @@ def test_simota_no_gts():
         jnp.zeros((8, 4)), jnp.zeros((8,), jnp.int32),
         jnp.zeros((8,), bool))
     assert not bool(np.asarray(res.fg_mask).any())
+
+
+def test_streamed_pallas_matches_xla_batched():
+    """The streaming Pallas SimOTA (interpret mode on CPU) must agree
+    exactly with the dense XLA formulation — fg mask, matched GT
+    (including multi-match tie-breaking), and matched IoU."""
+    from yunet_tpu.ops.assign import sim_ota_assign_batched
+
+    rng = np.random.RandomState(7)
+    for trial, (b, p, g, pvalid) in enumerate(
+            [(2, 300, 12, 0.8), (1, 150, 9, 0.4), (2, 260, 8, 0.0)]):
+        pri = np.stack([rng.uniform(0, 320, p), rng.uniform(0, 320, p),
+                        np.full(p, 8.0), np.full(p, 8.0)], -1)
+        pri = pri.astype(np.float32)
+        scores = rng.uniform(1e-4, 1, (b, p, 1)).astype(np.float32)
+        c = rng.uniform(20, 300, (b, p, 2))
+        wh = rng.uniform(4, 80, (b, p, 2))
+        dec = np.concatenate([c - wh / 2, c + wh / 2], -1).astype(
+            np.float32)
+        gc = rng.uniform(20, 300, (b, g, 2))
+        gwh = rng.uniform(8, 100, (b, g, 2))
+        gtb = np.concatenate([gc - gwh / 2, gc + gwh / 2], -1).astype(
+            np.float32)
+        glab = np.zeros((b, g), np.int32)
+        gv = rng.uniform(size=(b, g)) < pvalid
+        args = (jnp.asarray(scores), jnp.asarray(pri), jnp.asarray(dec),
+                jnp.asarray(gtb), jnp.asarray(glab), jnp.asarray(gv))
+        r_x = sim_ota_assign_batched(*args, use_pallas=False)
+        r_p = sim_ota_assign_batched(*args, use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(r_x.fg_mask),
+                                      np.asarray(r_p.fg_mask),
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(r_x.matched_gt),
+                                      np.asarray(r_p.matched_gt),
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_allclose(np.asarray(r_x.matched_iou),
+                                   np.asarray(r_p.matched_iou),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"trial {trial}")

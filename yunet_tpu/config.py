@@ -125,6 +125,9 @@ class TrainConfig:
     bf16: bool = True
     # Pallas fused pw->dw kernels (custom VJP) for the trunk convs
     fused_kernels: bool = False
+    # Streaming Pallas SimOTA (ops/simota_pallas.py) on TPU; the dense
+    # XLA formulation is used off-TPU or when disabled
+    pallas_simota: bool = True
     ema_momentum: float = 0.0  # 0 disables EMA (reference default: off)
     grad_clip: float = 0.0  # 0 disables (reference: grad_clip=None)
 

@@ -164,3 +164,100 @@ def sim_ota_assign(pred_scores: jnp.ndarray, priors: jnp.ndarray,
     matched_gt = jnp.where(fg_mask, matched_gt, 0)
     matched_iou = jnp.where(fg_mask, matched_iou, 0.0)
     return AssignResult(fg_mask, matched_gt, matched_iou)
+
+
+def _assemble_streamed(valid_prior, best_gt, cand_idx, topk_iou,
+                       gt_bboxes, gt_valid, decoded, *, eps=1e-6):
+    """Final matching from the streamed per-GT top-k reductions
+    (ops/simota_pallas.py). Single image; a few KB of work.
+
+    Mirrors the tail of sim_ota_assign: dynamic-k take over the
+    ascending-cost candidate list (:142-153), multi-match resolution to
+    the argmin-cost GT (:155-159), and fg/matched extraction (:161-165).
+    """
+    g = gt_bboxes.shape[0]
+    p = decoded.shape[0]
+    k = cand_idx.shape[1]
+
+    # dynamic-k: truncated sum of the top-k IoUs, summed in descending
+    # order to match _iter_topk_max_sum's accumulation order exactly
+    tot = topk_iou[:, 0]
+    for i in range(1, k):
+        tot = tot + topk_iou[:, i]
+    dynamic_ks = jnp.clip(tot.astype(jnp.int32), 1, None)
+    dynamic_ks = jnp.where(gt_valid, dynamic_ks, 0)          # (G,)
+    take = jnp.arange(k)[None, :] < dynamic_ks[:, None]      # (G, k)
+
+    flat = cand_idx.reshape(-1)
+    count = jnp.zeros((p,), jnp.int32).at[flat].add(
+        take.reshape(-1).astype(jnp.int32))
+    gsum = jnp.zeros((p,), jnp.int32).at[flat].add(
+        (take * jnp.arange(g)[:, None]).reshape(-1).astype(jnp.int32))
+
+    fg_mask = (count > 0) & valid_prior
+    matched_gt = jnp.where(count > 1, best_gt, gsum)
+    matched_gt = jnp.where(fg_mask, matched_gt, 0).astype(jnp.int32)
+
+    # matched IoU: select the matched GT row via a one-hot matmul (the
+    # (G,) table gather lowers to a pathological scalar gather on TPU)
+    # and recompute the IoU with the exact pairwise_iou expression.
+    sel = jax.nn.one_hot(matched_gt, g, dtype=jnp.float32)   # (P, G)
+    row = jax.lax.dot(
+        sel, jnp.concatenate(
+            [gt_bboxes, gt_valid[:, None].astype(jnp.float32)], axis=-1),
+        precision=jax.lax.Precision.HIGHEST)
+    box, mvalid = row[:, :4], row[:, 4] > 0
+    lt = jnp.maximum(decoded[:, :2], box[:, :2])
+    rb = jnp.minimum(decoded[:, 2:], box[:, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[:, 0] * wh[:, 1]
+    area1 = jnp.clip(decoded[:, 2] - decoded[:, 0], 0) * \
+        jnp.clip(decoded[:, 3] - decoded[:, 1], 0)
+    area2 = jnp.clip(box[:, 2] - box[:, 0], 0) * \
+        jnp.clip(box[:, 3] - box[:, 1], 0)
+    iou = inter / jnp.maximum(area1 + area2 - inter, eps)
+    matched_iou = jnp.where(fg_mask & mvalid, iou, 0.0)
+    return AssignResult(fg_mask, matched_gt, matched_iou)
+
+
+def sim_ota_assign_batched(pred_scores: jnp.ndarray, priors: jnp.ndarray,
+                           decoded_bboxes: jnp.ndarray,
+                           gt_bboxes: jnp.ndarray, gt_labels: jnp.ndarray,
+                           gt_valid: jnp.ndarray, *,
+                           center_radius: float = 2.5,
+                           candidate_topk: int = 10,
+                           iou_weight: float = 3.0, cls_weight: float = 1.0,
+                           eps: float = 1e-7,
+                           use_pallas=None) -> AssignResult:
+    """Batched SimOTA: pred_scores (B, P, C), priors (P, 4) shared,
+    decoded (B, P, 4), gt_* (B, G, ...).
+
+    On TPU (single foreground class) this runs the streaming Pallas
+    kernel — no (B, P, G) tensor ever reaches HBM; elsewhere it vmaps
+    the dense XLA formulation. ``use_pallas``: None = auto, False =
+    force XLA, True = force the kernel (interpreted off-TPU).
+    """
+    single_class = pred_scores.shape[-1] == 1
+    if use_pallas is None:
+        use_pallas = single_class and jax.default_backend() == "tpu"
+    if use_pallas and not single_class:
+        raise ValueError("pallas SimOTA kernel requires num_classes == 1")
+    if not use_pallas:
+        return jax.vmap(partial(
+            sim_ota_assign, center_radius=center_radius,
+            candidate_topk=candidate_topk, iou_weight=iou_weight,
+            cls_weight=cls_weight, eps=eps),
+            in_axes=(0, None, 0, 0, 0, 0))(
+            pred_scores, priors, decoded_bboxes, gt_bboxes, gt_labels,
+            gt_valid)
+
+    from .simota_pallas import streamed_simota
+    sa = streamed_simota(
+        pred_scores[..., 0], priors, decoded_bboxes, gt_bboxes,
+        (gt_labels == 0).astype(jnp.float32), gt_valid,
+        center_radius=center_radius, k=candidate_topk,
+        iou_weight=iou_weight, cls_weight=cls_weight, eps=eps,
+        interpret=None if jax.default_backend() == "tpu" else True)
+    return jax.vmap(_assemble_streamed)(
+        sa.valid_prior, sa.best_gt, sa.cand_idx, sa.topk_iou,
+        gt_bboxes, gt_valid, decoded_bboxes)

@@ -36,7 +36,7 @@ from ..models.detector import YuNet
 from ..ops.boxes import bbox_decode, kps_encode
 from ..ops.losses import bce_with_logits, eiou, smooth_l1
 from ..ops.priors import grid_priors
-from .targets import build_targets
+from .targets import build_targets_batched
 from .lr import lr_schedule, scale_lr
 
 
@@ -100,18 +100,17 @@ def loss_fn(model: YuNet, cfg: Config, params, state,
 
     decoded = bbox_decode(priors, bbox_p)         # (B, P, 4)
 
-    tgt = jax.vmap(functools.partial(
-        build_targets,
+    tgt = build_targets_batched(
+        jax.lax.stop_gradient(cls_l), jax.lax.stop_gradient(obj_l),
+        priors, jax.lax.stop_gradient(decoded),
+        batch["gt_bboxes"], batch["gt_labels"], batch["gt_kps"],
+        batch["gt_valid"],
         num_classes=cfg.model.num_classes, kps_num=cfg.model.kps_num,
         center_radius=cfg.assigner.center_radius,
         candidate_topk=cfg.assigner.candidate_topk,
         iou_weight=cfg.assigner.iou_weight,
         cls_weight=cfg.assigner.cls_weight,
-    ))(jax.lax.stop_gradient(cls_l), jax.lax.stop_gradient(obj_l),
-       jnp.broadcast_to(priors, (images.shape[0],) + priors.shape),
-       jax.lax.stop_gradient(decoded),
-       batch["gt_bboxes"], batch["gt_labels"], batch["gt_kps"],
-       batch["gt_valid"])
+        use_pallas=None if cfg.train.pallas_simota else False)
     tgt = jax.lax.stop_gradient(tgt)
 
     local_pos = tgt["num_pos"].sum()

@@ -43,7 +43,15 @@ def build_targets(cls_logits: jnp.ndarray, obj_logits: jnp.ndarray,
         gt_valid, center_radius=center_radius,
         candidate_topk=candidate_topk, iou_weight=iou_weight,
         cls_weight=cls_weight)
+    return targets_from_assign(res, gt_bboxes, gt_labels, gt_kps,
+                               num_classes=num_classes, kps_num=kps_num)
 
+
+def targets_from_assign(res, gt_bboxes: jnp.ndarray,
+                        gt_labels: jnp.ndarray, gt_kps: jnp.ndarray, *,
+                        num_classes: int, kps_num: int
+                        ) -> Dict[str, jnp.ndarray]:
+    """Prior-aligned training targets from an AssignResult (single image)."""
     fg = res.fg_mask
     # Row selection from the tiny (G, ...) GT tables as ONE one-hot matmul
     # on the MXU. The obvious gathers (gt_bboxes[matched_gt], ...) lower to
@@ -60,7 +68,10 @@ def build_targets(cls_logits: jnp.ndarray, obj_logits: jnp.ndarray,
         jnp.mean(gt_kps[:, :, 2], axis=-1, keepdims=True),       # 1
         label_onehot,                                            # C
     ], axis=-1)                                                  # (G, 5+2K+C)
-    picked = sel @ table                                         # (P, 5+2K+C)
+    # HIGHEST precision: the default TPU f32 matmul truncates operands to
+    # bf16, which would cost ~2.5px on 640-range coordinates.
+    picked = jax.lax.dot(sel, table,
+                         precision=jax.lax.Precision.HIGHEST)    # (P, 5+2K+C)
     bbox_target = picked[:, :4]                                  # (P, 4)
     kps_xy = picked[:, 4:4 + kps_num * 2]                        # (P, 2K)
     kps_weight = jnp.where(fg, picked[:, 4 + kps_num * 2], 0.0)  # (P,)
@@ -77,3 +88,31 @@ def build_targets(cls_logits: jnp.ndarray, obj_logits: jnp.ndarray,
         "kps_weight": kps_weight,
         "num_pos": fg.sum().astype(jnp.float32),
     }
+
+
+def build_targets_batched(cls_logits: jnp.ndarray, obj_logits: jnp.ndarray,
+                          priors: jnp.ndarray, decoded_bboxes: jnp.ndarray,
+                          gt_bboxes: jnp.ndarray, gt_labels: jnp.ndarray,
+                          gt_kps: jnp.ndarray, gt_valid: jnp.ndarray, *,
+                          num_classes: int, kps_num: int,
+                          center_radius: float, candidate_topk: int,
+                          iou_weight: float, cls_weight: float,
+                          use_pallas=None) -> Dict[str, jnp.ndarray]:
+    """Batched targets: cls_logits (B, P, C), obj_logits (B, P),
+    priors (P, 4) shared, the rest batched. On TPU the assignment runs
+    the streaming Pallas kernel (ops/simota_pallas.py)."""
+    from functools import partial
+
+    from ..ops.assign import sim_ota_assign_batched
+
+    scores = fuse_score(cls_logits, obj_logits[..., None])
+    offset_priors = jnp.concatenate(
+        [priors[:, :2] + priors[:, 2:] * 0.5, priors[:, 2:]], axis=-1)
+    res = sim_ota_assign_batched(
+        scores, offset_priors, decoded_bboxes, gt_bboxes, gt_labels,
+        gt_valid, center_radius=center_radius,
+        candidate_topk=candidate_topk, iou_weight=iou_weight,
+        cls_weight=cls_weight, use_pallas=use_pallas)
+    return jax.vmap(partial(targets_from_assign, num_classes=num_classes,
+                            kps_num=kps_num))(
+        res, gt_bboxes, gt_labels, gt_kps)
