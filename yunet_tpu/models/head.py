@@ -75,27 +75,35 @@ def yunet_head(p: Params, s: State, feats: List[jnp.ndarray], *,
                     s["multi_level_share_convs"][l][i], feat, train=train,
                     fused=fused)
             new_s["multi_level_share_convs"][l] = stack_new
-        cls, _ = conv_dp_unit(p["multi_level_cls"][l],
-                              s["multi_level_cls"][l], feat, train=train,
-                              fused=fused)
-        bbox, _ = conv_dp_unit(p["multi_level_bbox"][l],
-                               s["multi_level_bbox"][l], feat, train=train,
-                               fused=fused)
-        obj, _ = conv_dp_unit(p["multi_level_obj"][l],
-                              s["multi_level_obj"][l], feat, train=train,
-                              fused=fused)
-        new_s["multi_level_cls"][l] = {}
-        new_s["multi_level_bbox"][l] = {}
-        new_s["multi_level_obj"][l] = {}
-        out["cls"].append(cls)
-        out["bbox"].append(bbox)
-        out["obj"].append(obj)
+        # The four prediction branches run as ONE ConvDPUnit whose
+        # weights are the branch weights concatenated along the output
+        # channel axis, sliced back afterwards. Identical math (output
+        # channels of a conv are independent), but the 1/4/1/10-channel
+        # convs are pathological on TPU — their depthwise weight grads
+        # alone cost ~2 ms/step at 640² b64 — while the combined
+        # 16-channel unit tiles cleanly.
+        branch_names = ["multi_level_cls", "multi_level_bbox",
+                        "multi_level_obj"]
         if use_kps:
-            kps, _ = conv_dp_unit(p["multi_level_kps"][l],
-                                  s["multi_level_kps"][l], feat,
-                                  train=train, fused=fused)
-            new_s["multi_level_kps"][l] = {}
-            out["kps"].append(kps)
+            branch_names.append("multi_level_kps")
+        pf = {"conv1": {
+                  "w": jnp.concatenate(
+                      [p[b][l]["conv1"]["w"] for b in branch_names], -1),
+                  "b": jnp.concatenate(
+                      [p[b][l]["conv1"]["b"] for b in branch_names], -1)},
+              "conv2": {
+                  "w": jnp.concatenate(
+                      [p[b][l]["conv2"]["w"] for b in branch_names], -1),
+                  "b": jnp.concatenate(
+                      [p[b][l]["conv2"]["b"] for b in branch_names], -1)}}
+        y, _ = conv_dp_unit(pf, {}, feat, train=train, fused=fused)
+        off = 0
+        for b in branch_names:
+            ch = p[b][l]["conv1"]["w"].shape[-1]
+            out[b.replace("multi_level_", "")].append(
+                y[..., off:off + ch])
+            off += ch
+            new_s[b][l] = {}
     return out, new_s
 
 
