@@ -11,7 +11,8 @@ any serving loop would).
 Prints ONE JSON line. The headline value is the MEDIAN of the measurement
 windows (typical, not best-of); the "extra" field carries the rest of the
 perf story: best window, batched serving throughput (batch 16, on-device
-NMS), train-step throughput at 640^2 (batch 16/64), and a roofline note
+NMS), train-step throughput at 640^2 (batch 16/64/128; 128 saturates
+the lane dimension of XLA's batch-minor conv layouts), and a roofline note
 (achieved TFLOP/s and MFU — YuNet is a 75k-param depthwise net, so it is
 HBM-bandwidth-bound, not MXU-bound; MFU is reported for scale, not as the
 optimization target).
@@ -136,7 +137,7 @@ def main():
         from yunet_tpu.train import init_train_state, make_train_step
         from yunet_tpu.utils.flops import count_macs
 
-        for tb in (16, 64):
+        for tb in (16, 64, 128):
             tcfg = dataclasses.replace(
                 cfg, data=dataclasses.replace(cfg.data, img_size=640,
                                               max_gts=128))
@@ -149,9 +150,11 @@ def main():
             kps = np.concatenate(
                 [rng.uniform(20, 620, (tb, g, 5, 2)).astype(np.float32),
                  np.ones((tb, g, 5, 1), np.float32)], -1)
+            # uint8 images: the loader's device-feed contract (cast to
+            # bf16 on device; 4x less host->device traffic)
             batch = {
                 "image": jnp.asarray(rng.randint(
-                    0, 256, (tb, 640, 640, 3)).astype(np.float32)),
+                    0, 256, (tb, 640, 640, 3)).astype(np.uint8)),
                 "gt_bboxes": jnp.asarray(
                     np.concatenate([c - wh / 2, c + wh / 2], -1)),
                 "gt_labels": jnp.zeros((tb, g), jnp.int32),
@@ -172,12 +175,12 @@ def main():
                 time.sleep(0.3)
             sps = statistics.median(vals)
             extra[f"train_640_b{tb}_imgs_per_s"] = round(sps * tb, 1)
-            if tb == 64:
+            if tb == 128:
                 # fwd + bwd ~= 3x fwd MACs; 2 FLOPs per MAC
                 macs = count_macs(cfg.model, (640, 640))
                 tflops = sps * tb * macs * 3 * 2 / 1e12
-                extra["train_b64_achieved_tflops"] = round(tflops, 3)
-                extra["train_b64_mfu_pct"] = round(
+                extra["train_b128_achieved_tflops"] = round(tflops, 3)
+                extra["train_b128_mfu_pct"] = round(
                     100 * tflops / V5E_PEAK_BF16_TFLOPS, 3)
                 extra["roofline_note"] = (
                     "75k-param depthwise net: HBM-bandwidth-bound on a "

@@ -174,7 +174,11 @@ class Detector:
         score_thr = (self.cfg.test.score_thr if score_thr is None
                      else score_thr)
         det_img, det_scale = resize_img(img_bgr, mode, pad_divisor)
-        x = jnp.asarray(det_img[None].astype(np.float32))
+        if self.bf16 and det_img.dtype == np.uint8:
+            # ship uint8: 4x less host->device traffic, cast on device
+            x = jnp.asarray(det_img[None])
+        else:
+            x = jnp.asarray(det_img[None].astype(np.float32))
         h, w = det_img.shape[:2]
 
         if use_device_nms:

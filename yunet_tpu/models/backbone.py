@@ -16,8 +16,10 @@ from .layers import (Params, State, conv4layer_block, conv4layer_block_init,
                      conv_head, conv_head_init)
 
 
-def max_pool2x(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2/2 max pool, NHWC. Floor semantics like F.max_pool2d."""
+def max_pool2x_reduce_window(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 max pool via lax.reduce_window. Exact torch semantics, but
+    its gradient lowers to SelectAndScatter, which XLA:TPU emits as a
+    slow windowed scan (~3 ms/step at 640^2 batch 128)."""
     return jax.lax.reduce_window(
         x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else
         jnp.iinfo(x.dtype).min,
@@ -25,6 +27,31 @@ def max_pool2x(x: jnp.ndarray) -> jnp.ndarray:
         window_dimensions=(1, 2, 2, 1),
         window_strides=(1, 2, 2, 1),
         padding="VALID")
+
+
+def max_pool2x_slices(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 max pool as an elementwise max of 4 strided slices (NHWC;
+    the lane-major C axis is untouched, so the slices are cheap).
+
+    Forward is bit-identical to F.max_pool2d (floor semantics via the
+    even-truncating slice bounds). Backward becomes the VJP of
+    jnp.maximum — an eq-mask select — instead of SelectAndScatter. The
+    one semantic difference is tie handling in the gradient: torch
+    routes the window's gradient to the first max element; the nested
+    maximum here routes it to one deterministic winner per comparison
+    tree. The gradient sum over the window is identical, and ties occur
+    essentially only at ReLU zeros, where the subgradient choice is
+    arbitrary anyway.
+    """
+    h2 = x.shape[1] // 2 * 2
+    w2 = x.shape[2] // 2 * 2
+    x = x[:, :h2, :w2]
+    return jnp.maximum(
+        jnp.maximum(x[:, 0::2, 0::2], x[:, 0::2, 1::2]),
+        jnp.maximum(x[:, 1::2, 0::2], x[:, 1::2, 1::2]))
+
+
+max_pool2x = max_pool2x_reduce_window
 
 
 def yunet_backbone_init(key, stage_channels: Sequence[Sequence[int]]

@@ -188,11 +188,25 @@ def _assemble_streamed(valid_prior, best_gt, cand_idx, topk_iou,
     dynamic_ks = jnp.where(gt_valid, dynamic_ks, 0)          # (G,)
     take = jnp.arange(k)[None, :] < dynamic_ks[:, None]      # (G, k)
 
+    # ONE packed scatter-add instead of two: TPU scatters serialize per
+    # index, so halving the scatter count halves this tail. Each taken
+    # entry adds (1 << shift) + gt_index; counts (<= G*k) live above
+    # `shift`, the gt-index sum (< 2^shift) below — exact as long as both
+    # fields fit in an int32, else fall back to two scatters.
     flat = cand_idx.reshape(-1)
-    count = jnp.zeros((p,), jnp.int32).at[flat].add(
-        take.reshape(-1).astype(jnp.int32))
-    gsum = jnp.zeros((p,), jnp.int32).at[flat].add(
-        (take * jnp.arange(g)[:, None]).reshape(-1).astype(jnp.int32))
+    shift = max(1, g * k * (g - 1)).bit_length()
+    if g * k << shift < 2 ** 31:
+        packed = (take * (jnp.arange(g)[:, None] + (1 << shift))
+                  ).reshape(-1)
+        acc = jnp.zeros((p,), jnp.int32).at[flat].add(
+            packed.astype(jnp.int32))
+        count = acc >> shift
+        gsum = acc & ((1 << shift) - 1)
+    else:
+        count = jnp.zeros((p,), jnp.int32).at[flat].add(
+            take.reshape(-1).astype(jnp.int32))
+        gsum = jnp.zeros((p,), jnp.int32).at[flat].add(
+            (take * jnp.arange(g)[:, None]).reshape(-1).astype(jnp.int32))
 
     fg_mask = (count > 0) & valid_prior
     matched_gt = jnp.where(count > 1, best_gt, gsum)

@@ -230,12 +230,131 @@ def _kernel(n_chunks, n_gtiles, k, center_radius, iou_weight, cls_weight,
         iouk_out[...] = ioub_s[gsl, :][None]
 
 
+def _kernel_folded(n_chunks, n_gtiles, gt_t, k, center_radius, iou_weight,
+                   cls_weight, eps,
+                   priors_ref, dec_ref, sc_ref, gtb_ref, gty_ref, gtv_ref,
+                   valid_out, best_out, cand_out, iouk_out,
+                   bufv_s, bufi_s, ioub_s):
+    """One grid step per (batch element, prior chunk); the two phases and
+    the GT-tile loop run inside the body. 16x fewer grid steps than the
+    4-D grid (TPU sequential-grid dispatch overhead dominated the v1
+    kernel: 10240 steps at 640^2 b128), same numbers in the same order,
+    so tie-breaking is preserved tile-for-tile."""
+    j = pl.program_id(1)
+    pri = priors_ref[...]                  # (4, T)
+    t = pri.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        bufv_s[...] = jnp.full_like(bufv_s[...], jnp.inf)
+        bufi_s[...] = jnp.zeros_like(bufi_s[...])
+        ioub_s[...] = jnp.zeros_like(ioub_s[...])
+
+    def load_tile(gi):
+        gsl = pl.dslice(gi * gt_t, gt_t)
+        gtb = gtb_ref[0, gsl, :]           # (gt_t, 4)
+        gtv_f = gtv_ref[0, gsl, :]         # (gt_t, 1)
+        return gsl, gtb, gtv_f
+
+    # ---- phase A: valid_prior over all GT tiles ---------------------------
+    # carries are i32, not bool: Mosaic assigns inconsistent packed/unpacked
+    # i1 vector layouts across cond branches and fails to lower
+    def phase_a(gi, valid):
+        _, gtb, gtv_f = load_tile(gi)
+
+        def live_fn(v):
+            in_gts, in_cts = _pair_masks(pri, gtb, gtv_f > 0, center_radius)
+            any_g = jnp.any(in_gts | in_cts, axis=0, keepdims=True)
+            return v | any_g.astype(jnp.int32)
+        return jax.lax.cond(jnp.max(gtv_f) > 0, live_fn, lambda v: v, valid)
+
+    valid_i = jax.lax.fori_loop(
+        0, n_gtiles, phase_a, jnp.zeros((1, t), jnp.int32))
+    valid_p = valid_i > 0
+
+    # ---- phase B: cost tiles + running reductions --------------------------
+    def phase_b(gi, carry):
+        bestv, besti = carry
+        gsl, gtb, gtv_f = load_tile(gi)
+
+        def live_fn(carry):
+            bestv, besti = carry
+            gtv = gtv_f > 0
+            in_gts, in_cts = _pair_masks(pri, gtb, gtv, center_radius)
+            in_both = in_gts & in_cts
+
+            dec = dec_ref[0]               # (4, T)
+            dx1, dy1, dx2, dy2 = (dec[0:1, :], dec[1:2, :],
+                                  dec[2:3, :], dec[3:4, :])
+            gx1, gy1, gx2, gy2 = (gtb[:, 0:1], gtb[:, 1:2],
+                                  gtb[:, 2:3], gtb[:, 3:4])
+            iw = jnp.clip(jnp.minimum(dx2, gx2) - jnp.maximum(dx1, gx1), 0)
+            ih = jnp.clip(jnp.minimum(dy2, gy2) - jnp.maximum(dy1, gy1), 0)
+            inter = iw * ih
+            area_d = jnp.clip(dx2 - dx1, 0) * jnp.clip(dy2 - dy1, 0)
+            area_g = jnp.clip(gx2 - gx1, 0) * jnp.clip(gy2 - gy1, 0)
+            iou = inter / jnp.maximum(area_d + area_g - inter, 1e-6)
+            iou = jnp.where(valid_p & gtv, iou, 0.0)
+            iou_cost = -jnp.log(iou + eps)
+
+            s = jnp.sqrt(jnp.clip(sc_ref[0], 0.0, 1.0))      # (1, T)
+            y = gty_ref[0, gsl, :]                           # (gt_t, 1)
+            log_p = jnp.clip(jnp.log(s), -100.0, None)
+            log_1mp = jnp.clip(jnp.log1p(-s), -100.0, None)
+            cls_cost = -(y * log_p + (1.0 - y) * log_1mp)
+
+            cost = (cls_weight * cls_cost + iou_weight * iou_cost
+                    + jnp.logical_not(in_both).astype(jnp.float32) * INF)
+            cost = jnp.where(valid_p, cost, BIG)
+            cost = jnp.where(gtv, cost, BIG)
+
+            tmin = jnp.min(cost, axis=0, keepdims=True)
+            rows = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 0)
+            targ = jnp.min(jnp.where(cost == tmin, rows,
+                                     jnp.iinfo(jnp.int32).max),
+                           axis=0, keepdims=True)
+            upd = tmin < bestv
+            besti = jnp.where(upd, gi * gt_t + targ, besti)
+            bestv = jnp.where(upd, tmin, bestv)
+
+            gidx = jax.lax.broadcasted_iota(jnp.int32, (gt_t, t), 1) + j * t
+            nv, ni = _topk_merge_min(bufv_s[gsl, :], bufi_s[gsl, :],
+                                     cost, gidx, k)
+            bufv_s[gsl, :] = nv
+            bufi_s[gsl, :] = ni
+            ioub_s[gsl, :] = _topk_merge_max(ioub_s[gsl, :], iou, k)
+            return bestv, besti
+
+        def dead_fn(carry):
+            bestv, besti = carry
+            upd = BIG < bestv
+            besti = jnp.where(upd, jnp.full_like(besti, gi * gt_t), besti)
+            bestv = jnp.where(upd, BIG, bestv)
+            return bestv, besti
+
+        return jax.lax.cond(jnp.max(gtv_f) > 0, live_fn, dead_fn,
+                            (bestv, besti))
+
+    bestv, besti = jax.lax.fori_loop(
+        0, n_gtiles, phase_b,
+        (jnp.full((1, t), jnp.inf, jnp.float32),
+         jnp.zeros((1, t), jnp.int32)))
+
+    valid_out[...] = valid_i[None]
+    best_out[...] = besti[None]
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        cand_out[...] = bufi_s[...][None]
+        iouk_out[...] = ioub_s[...][None]
+
+
 def streamed_simota(scores: jnp.ndarray, priors: jnp.ndarray,
                     decoded: jnp.ndarray, gt_bboxes: jnp.ndarray,
                     gt_onehot: jnp.ndarray, gt_valid: jnp.ndarray, *,
                     center_radius: float = 2.5, k: int = 10,
                     iou_weight: float = 3.0, cls_weight: float = 1.0,
-                    eps: float = 1e-7,
+                    eps: float = 1e-7, folded: bool = True,
                     interpret: Optional[bool] = None) -> StreamedAssign:
     """Batched streaming SimOTA reductions.
 
@@ -272,11 +391,52 @@ def streamed_simota(scores: jnp.ndarray, priors: jnp.ndarray,
     dec_t = jnp.swapaxes(dec, 1, 2)     # (B, 4, Pp)
     sc_t = sc[:, None, :]               # (B, 1, Pp)
 
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if folded:
+        kern = functools.partial(_kernel_folded, n_chunks, n_gtiles, gt_t,
+                                 k, center_radius, iou_weight, cls_weight,
+                                 eps)
+        valid, best, cand, iouk = pl.pallas_call(
+            kern,
+            grid=(b, n_chunks),
+            in_specs=[
+                pl.BlockSpec((4, t), lambda b_, j: (0, j)),
+                pl.BlockSpec((1, 4, t), lambda b_, j: (b_, 0, j)),
+                pl.BlockSpec((1, 1, t), lambda b_, j: (b_, 0, j)),
+                pl.BlockSpec((1, gp, 4), lambda b_, j: (b_, 0, 0)),
+                pl.BlockSpec((1, gp, 1), lambda b_, j: (b_, 0, 0)),
+                pl.BlockSpec((1, gp, 1), lambda b_, j: (b_, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, t), lambda b_, j: (b_, 0, j)),
+                pl.BlockSpec((1, 1, t), lambda b_, j: (b_, 0, j)),
+                pl.BlockSpec((1, gp, k), lambda b_, j: (b_, 0, 0)),
+                pl.BlockSpec((1, gp, k), lambda b_, j: (b_, 0, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, 1, pp), jnp.int32),
+                jax.ShapeDtypeStruct((b, 1, pp), jnp.int32),
+                jax.ShapeDtypeStruct((b, gp, k), jnp.int32),
+                jax.ShapeDtypeStruct((b, gp, k), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((gp, k), jnp.float32),  # top-k cost values
+                pltpu.VMEM((gp, k), jnp.int32),    # top-k cost prior idx
+                pltpu.VMEM((gp, k), jnp.float32),  # top-k iou values
+            ],
+            interpret=interpret,
+        )(pri_t, dec_t, sc_t, gtb, gty, gtv)
+        return StreamedAssign(
+            valid_prior=valid[:, 0, :p] > 0,
+            best_gt=best[:, 0, :p],
+            cand_idx=cand[:, :g_in, :],
+            topk_iou=iouk[:, :g_in, :],
+        )
+
     grid = (b, n_chunks, 2, n_gtiles)
     kern = functools.partial(_kernel, n_chunks, n_gtiles, k,
                              center_radius, iou_weight, cls_weight, eps)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     valid, best, cand, iouk = pl.pallas_call(
         kern,
         grid=grid,

@@ -90,7 +90,10 @@ def loss_fn(model: YuNet, cfg: Config, params, state,
     """Returns (total_loss, (new_state, metrics))."""
     images = batch["image"]
     if cfg.train.bf16:
+        # uint8 -> bf16 is a single cheap cast (0..255 exact in bf16)
         images = images.astype(jnp.bfloat16)
+    elif not jnp.issubdtype(images.dtype, jnp.floating):
+        images = images.astype(jnp.float32)
     flat, new_state = model.forward_flat(params, state, images, train=True,
                                          fused=cfg.train.fused_kernels)
     cls_l = flat["cls"].astype(jnp.float32)       # (B, P, C)
