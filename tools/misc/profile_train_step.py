@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Profile the train step: aggregate device op times from a JAX trace.
+
+Runs a few steps under jax.profiler.trace and prints the top device ops
+by total duration (one step's worth, averaged over the traced steps).
+
+Usage: python tools/misc/profile_train_step.py --batch 128 --steps 3
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--max-gts", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--out", default="/tmp/yunet_trace")
+    args = ap.parse_args(argv)
+
+    import dataclasses
+    import numpy as np
+    import jax
+
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.models import YuNet
+    from yunet_tpu.train import init_train_state, make_train_step
+    from bench_train_step import make_batch
+
+    cfg = yunet_n()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, img_size=args.img_size,
+                                      max_gts=args.max_gts))
+    model = YuNet(cfg.model)
+    ts, tx = init_train_state(cfg, steps_per_epoch=1000,
+                              total_batch=args.batch)
+    step = make_train_step(cfg, model, tx, img_size=args.img_size)
+    batch = make_batch(np.random.RandomState(0), args.batch, args.img_size,
+                       args.max_gts, np.uint8)
+    ts, m = step(ts, batch)
+    jax.block_until_ready(m["loss"])
+
+    # map HLO fusion names -> the interesting ops inside their fused
+    # computation, so the trace rows can be categorized
+    import re
+    hlo = step.lower(ts, batch).compile().as_text()
+    comp_ops = {}
+    cur = None
+    for line in hlo.splitlines():
+        mdef = re.match(r"%?([\w\.\-]+)\s*\([^)]*\)\s*->", line.strip())
+        if line and not line.startswith(" ") and mdef:
+            cur = mdef.group(1)
+            comp_ops[cur] = set()
+        elif cur:
+            for op in ("convolution", "select-and-scatter", "scatter",
+                       "reduce-window", "custom-call", "dot", "reduce(",
+                       "transpose", "iota"):
+                if " " + op in line or "= " + op in line or op + "(" in line:
+                    comp_ops[cur].add(op.rstrip("("))
+    inst_comp = {}
+    for mm in re.finditer(
+            r"%?([\w\.\-]+)\s*=\s*\S+\s+fusion\(.*?calls=%?([\w\.\-]+)",
+            hlo):
+        inst_comp[mm.group(1)] = mm.group(2)
+
+    def categorize(name):
+        comp = inst_comp.get(name)
+        ops = comp_ops.get(comp, set()) if comp else set()
+        base = name.split(".")[0]
+        if "custom-call" in ops or base in ("custom-call",):
+            return "pallas/custom-call"
+        if "convolution" in ops:
+            return "conv fusion"
+        if "select-and-scatter" in ops or base == "select_and_scatter":
+            return "maxpool-bwd (select&scatter)"
+        if "scatter" in ops or base == "scatter":
+            return "scatter"
+        if "reduce-window" in ops or base == "reduce_window":
+            return "maxpool-fwd"
+        if "dot" in ops:
+            return "dot fusion"
+        if "reduce" in ops or "reduce" in base or "convert_reduce" in name:
+            return "reduce fusion"
+        return "other"
+
+    with jax.profiler.trace(args.out):
+        for _ in range(args.steps):
+            ts, m = step(ts, batch)
+        jax.block_until_ready(m["loss"])
+
+    paths = sorted(glob.glob(
+        os.path.join(args.out, "**", "*.trace.json.gz"), recursive=True))
+    if not paths:
+        print("no trace found under", args.out)
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+
+    # device-lane complete events only (TensorCore pids have "/device:" or
+    # "TPU" in the process name); fall back to all X events
+    pid_names = {}
+    for ev in trace["traceEvents"]:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev["args"].get("name", "")
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "device" in n.lower()}
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    for ev in trace["traceEvents"]:
+        if ev.get("ph") != "X":
+            continue
+        if dev_pids and ev.get("pid") not in dev_pids:
+            continue
+        name = ev.get("name", "?")
+        tot[name] += ev.get("dur", 0)
+        cnt[name] += 1
+    # drop container events (the whole-step jit span and bare step ids)
+    for k in list(tot):
+        if k.startswith("jit_") or k.isdigit():
+            del tot[k]
+    total_us = sum(tot.values())
+    print(f"device total: {total_us / args.steps / 1e3:.2f} ms/step "
+          f"({len(tot)} distinct ops)")
+    cats = collections.Counter()
+    for name, us in tot.items():
+        cats[categorize(name)] += us
+    print("\nby category:")
+    for cat, us in cats.most_common():
+        print(f"{us / args.steps / 1e3:9.3f} ms/step  {cat}")
+    print("\ntop ops:")
+    for name, us in tot.most_common(args.top):
+        print(f"{us / args.steps / 1e3:9.3f} ms/step  x{cnt[name] // args.steps:<4d}"
+              f" [{categorize(name)}] {name[:90]}")
+
+
+if __name__ == "__main__":
+    main()

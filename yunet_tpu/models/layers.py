@@ -70,8 +70,13 @@ def batch_norm(x: jnp.ndarray, p: Params, s: State, *, train: bool,
     scale, bias = p["scale"], p["bias"]
     if train:
         xf = x.astype(jnp.float32)
+        # single-pass stats: E[x] and E[x^2] reduce the SAME read, so XLA
+        # fuses them into one pass over x — the centered two-pass form
+        # reads every BN input twice per step. f32 accumulation keeps the
+        # E[x^2] - E[x]^2 cancellation benign at activation scales.
         mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+        mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
         n = x.shape[0] * x.shape[1] * x.shape[2]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
