@@ -35,16 +35,29 @@ REF_PTH = "/root/reference/weights/yunet_n.pth"
 V5E_PEAK_BF16_TFLOPS = 197.0
 
 
-def _measure_windows(dispatch, block, iters, windows, gap=0.5):
-    """N async dispatches + one final barrier per window; returns img/s
-    per window (tunnel contention makes single windows noisy)."""
+def _sync(out):
+    """True device sync: materialize one output leaf on the host.
+
+    jax.block_until_ready does NOT wait for queued device work through
+    the axon tunnel (measured: 30 chained 1ms convolutions "complete" in
+    0.7ms wall); only a host readback drains the execution queue.
+    """
+    import jax
+    import numpy as np
+    np.asarray(jax.tree.leaves(out)[0])
+
+
+def _measure_windows(dispatch, iters, windows, gap=0.5):
+    """N async dispatches + one final readback barrier per window;
+    returns img/s per window (tunnel contention makes single windows
+    noisy)."""
     vals = []
     for _ in range(windows):
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):
             out = dispatch()
-        block(out)
+        _sync(out)
         vals.append(iters / (time.perf_counter() - t0))
         time.sleep(gap)
     return vals
@@ -76,14 +89,17 @@ def main():
     det = Detector(cfg, params, state, bf16=True, fused=True)
     fn = det._nms_fn(320, 320, 512)
     p_d, s_d = det.params, det.state
-    x1 = jnp.asarray(rng.randint(0, 256, (1, 320, 320, 3))
-                     .astype(np.float32))
-    jax.block_until_ready(fn(p_d, s_d, x1))          # compile
+    # several distinct inputs, round-robined: guards against any
+    # result-caching of repeated identical executions in the tunnel
+    xs1 = [jnp.asarray(rng.randint(0, 256, (1, 320, 320, 3))
+                       .astype(np.float32)) for _ in range(4)]
+    _sync(fn(p_d, s_d, xs1[0]))                      # compile
     for _ in range(50):                              # pipeline warmup
-        out = fn(p_d, s_d, x1)
-    jax.block_until_ready(out)
-    w1 = _measure_windows(lambda: fn(p_d, s_d, x1), jax.block_until_ready,
-                          iters=300, windows=8)
+        out = fn(p_d, s_d, xs1[0])
+    _sync(out)
+    it1 = iter(range(10 ** 9))
+    w1 = _measure_windows(
+        lambda: fn(p_d, s_d, xs1[next(it1) % 4]), iters=300, windows=8)
     extra["detect_b1_imgs_per_s"] = round(statistics.median(w1), 1)
     extra["detect_b1_windows_imgs_per_s"] = [round(v, 1) for v in w1]
     extra["detect_b1_best_imgs_per_s"] = round(max(w1), 1)
@@ -122,14 +138,15 @@ def main():
             return dets, keep, kp[idx]
         return jax.vmap(one)(boxes, scores, kps)
 
-    xb = jnp.asarray(rng.randint(0, 256, (b, 320, 320, 3))
-                     .astype(np.uint8))
-    jax.block_until_ready(serve_batch(xb))
+    xbs = [jnp.asarray(rng.randint(0, 256, (b, 320, 320, 3))
+                       .astype(np.uint8)) for _ in range(4)]
+    _sync(serve_batch(xbs[0]))
     for _ in range(10):
-        ob = serve_batch(xb)
-    jax.block_until_ready(ob)
-    wb = _measure_windows(lambda: serve_batch(xb),
-                          jax.block_until_ready, iters=60, windows=5)
+        ob = serve_batch(xbs[0])
+    _sync(ob)
+    itb = iter(range(10 ** 9))
+    wb = _measure_windows(lambda: serve_batch(xbs[next(itb) % 4]),
+                          iters=60, windows=5)
     fps_typ = statistics.median(wb) * b      # the headline
     extra["detect_b16_best_imgs_per_s"] = round(max(wb) * b, 1)
 
@@ -165,14 +182,14 @@ def main():
                     np.tile(np.arange(g) < 12, (tb, 1))),
             }
             ts, m = step(ts, batch)                  # compile
-            jax.block_until_ready(m["loss"])
-            n_meas, best_sps = 10, 0.0
+            float(m["loss"])
+            n_meas = 10
             vals = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 for _ in range(n_meas):
                     ts, m = step(ts, batch)
-                jax.block_until_ready(m["loss"])
+                float(m["loss"])                     # true sync
                 vals.append(n_meas / (time.perf_counter() - t0))
                 time.sleep(0.3)
             sps = statistics.median(vals)

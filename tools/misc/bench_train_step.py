@@ -112,7 +112,10 @@ def main(argv=None):
             ts = v["ts"]
             for _ in range(args.iters):
                 ts, m = v["step"](ts, v["batch"])
-            jax.block_until_ready(m["loss"])
+            # host readback, not block_until_ready: through the axon
+            # tunnel block_until_ready returns before the device work is
+            # done; only materializing a value truly synchronizes
+            float(m["loss"])
             v["ts"] = ts
             dt_s = time.perf_counter() - t0
             v["vals"].append(args.iters * args.batch / dt_s)
