@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 INF = 100000.0
 BIG = 1e9
 
-T_CHUNK = 2048      # priors per chunk (lanes)
+T_CHUNK = 2816      # priors per chunk (22 lane-tiles; 3 chunks cover P=8400 with 48 pad rows vs 1840 at 2048)
 GT_TILE = 16        # GT rows per tile (sublanes)
 
 
