@@ -63,16 +63,11 @@ def main(argv=None):
     params, state = load_weights(cfg, args.checkpoint)
     det = Detector(cfg, params, state)
 
-    if args.mode == 0:
-        mode = (640, 640)
-    elif args.mode == 1:
-        mode = (1650, 1100)
-    elif args.mode == 2:
-        mode = "ORIGIN"
-    elif args.mode > 30:
-        mode = (args.mode, args.mode)
-    else:
-        raise SystemExit(f"bad mode {args.mode}")
+    from yunet_tpu.eval import widerface_eval_mode
+    try:
+        mode = widerface_eval_mode(args.mode)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     records = parse_labelv2(ann, test_mode=True)
     if args.limit:

@@ -52,7 +52,7 @@ def parse_args(argv=None):
                    "reference EvalHook interval, configs/yunet_n.py:146)")
     p.add_argument("--eval-mode", type=int, default=2,
                    help="eval protocol mode as in tools/test_widerface.py "
-                   "(0: 640x640, 2: origin size)")
+                   "(0: 640x640, 1: 1650x1100, 2: origin size, >30: NxN)")
     p.add_argument("--eval-limit", type=int, default=0,
                    help="eval only the first N val images (0 = all)")
     p.add_argument("--eval-ann", default=None)
@@ -110,9 +110,10 @@ def main(argv=None):
 
     eval_hook = None
     if args.eval_interval > 0:
-        from yunet_tpu.eval import make_wider_eval_hook
+        from yunet_tpu.eval import (make_wider_eval_hook,
+                                    widerface_eval_mode)
         eval_hook = make_wider_eval_hook(
-            cfg, mode=(640, 640) if args.eval_mode == 0 else "ORIGIN",
+            cfg, mode=widerface_eval_mode(args.eval_mode),
             ann=args.eval_ann, img_prefix=args.eval_img_prefix,
             gt_dir=args.eval_gt_dir, limit=args.eval_limit)
 

@@ -78,8 +78,16 @@ class WiderFaceDataset:
         reduction = 1
         if self.reduced_decode and self.decoded_cache is None:
             from .cache import pick_reduction
-            reduction = pick_reduction(min(rec.width, rec.height), scale,
-                                       self.spec.img_size)
+            # random_square_crop may REDRAW the scale after 250 failed
+            # placements: with max(crop_choice) <= 1.0 the scale only
+            # grows (x1.2), so the drawn scale is the minimum; otherwise
+            # a redraw samples the full choice list, so the reduction
+            # must stay valid for the smallest possible scale or the
+            # crop would be under-resolved (transforms.py:51-55)
+            floor_scale = (scale if max(self.spec.crop_choice) <= 1.0
+                           else min(self.spec.crop_choice))
+            reduction = pick_reduction(min(rec.width, rec.height),
+                                       floor_scale, self.spec.img_size)
         # keep uint8 (possibly an mmap) through the crop: the canvas paste
         # reads only the crop window, and cv2.resize on uint8 matches the
         # reference pipeline (mmcv resizes uint8; Normalize is identity)

@@ -108,7 +108,13 @@ class TrainLoader:
                 batches = batches[skip:]
                 skip = 0
             for batch_idx in batches:
-                seeds = [(int(i), self.seed + 1000003 * step_global + j)
+                # seed by GLOBAL batch position (process shard offset +
+                # local slot) so multi-process hosts draw independent
+                # augmentation streams; single-process streams are
+                # unchanged (offset 0)
+                off = self.process_index * self.batch_size
+                seeds = [(int(i),
+                          self.seed + 1000003 * step_global + off + j)
                          for j, i in enumerate(batch_idx)]
                 if self._pool is not None:
                     samples = self._pool.map(_worker_sample, seeds)

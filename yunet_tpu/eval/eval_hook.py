@@ -22,6 +22,21 @@ from .detect import Detector
 from .widerface import wider_evaluation
 
 
+def widerface_eval_mode(mode: int) -> Union[str, Tuple[int, int]]:
+    """Numeric WIDER protocol mode -> Detector mode, exactly as
+    tools/test_widerface.py (reference tools/test_widerface.py:76-97):
+    0 = 640x640, 1 = 1650x1100, 2 = origin size, >30 = NxN square."""
+    if mode == 0:
+        return (640, 640)
+    if mode == 1:
+        return (1650, 1100)
+    if mode == 2:
+        return "ORIGIN"
+    if mode > 30:
+        return (mode, mode)
+    raise ValueError(f"bad WIDER eval mode {mode}")
+
+
 def make_wider_eval_hook(cfg: Config, *,
                          mode: Union[str, Tuple[int, int]] = "ORIGIN",
                          ann: Optional[str] = None,
@@ -46,12 +61,23 @@ def make_wider_eval_hook(cfg: Config, *,
     det = Detector(cfg)  # params swapped in per call
 
     def hook(ts, step):
-        params = (ts.ema_params
-                  if use_ema and ts.ema_params is not None else ts.params)
         import jax
         import jax.numpy as jnp
-        det.params = jax.tree.map(jnp.asarray, params)
-        det.state = jax.tree.map(jnp.asarray, ts.state)
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-process: the sweep runs on process 0 only, on arrays
+            # rebuilt from the local (replicated) shards — binding the
+            # global jax.Arrays directly would turn every per-image jit
+            # into a lockstep multihost dispatch on all processes. The
+            # other processes return to training and simply wait at
+            # their next collective.
+            return None
+        from ..train.checkpoint import to_host
+        params = (ts.ema_params
+                  if use_ema and ts.ema_params is not None else ts.params)
+        det.params = jax.tree.map(lambda x: jnp.asarray(to_host(x)),
+                                  params)
+        det.state = jax.tree.map(lambda x: jnp.asarray(to_host(x)),
+                                 ts.state)
         results = {}
         for rec in records:
             img = cv2.imread(os.path.join(img_prefix, rec.filename))

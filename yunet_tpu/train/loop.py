@@ -183,8 +183,9 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
             # also fire on the final step — the reference EvalHook always
             # evaluates at the end of training (eval_hooks.py:24-130)
             ev = eval_hook(ts, step)
-            logger.info(f"eval @ step {step}: {ev}")
-            metrics_log.log(step, ev, prefix="val")
+            if ev is not None:   # non-zero processes skip the sweep
+                logger.info(f"eval @ step {step}: {ev}")
+                metrics_log.log(step, ev, prefix="val")
     if stats is not None and jax.process_index() == 0:
         stats.dump(f"{work_dir}/sample_size_stats.json")
     loader.close()
