@@ -220,3 +220,59 @@ def test_streamed_pallas_matches_xla_batched():
                                    np.asarray(r_p.matched_iou),
                                    rtol=1e-6, atol=1e-7,
                                    err_msg=f"trial {trial}")
+
+
+def test_streamed_pallas_multichunk_multitile(monkeypatch):
+    """Cover the kernel's multi-chunk (prior chunks) and multi-GT-tile
+    paths, which production shapes exercise (P=8400 -> 3 chunks of 2816,
+    G=128 -> 8 tiles of 16) but the default-constant test above does not
+    (p < T_CHUNK, g < GT_TILE). Shrinks the tile constants so the same
+    code paths run fast in interpret mode, and checks the folded 2-D
+    grid against the 4-D grid kernel AND the XLA oracle."""
+    from yunet_tpu.ops import simota_pallas
+    from yunet_tpu.ops.assign import sim_ota_assign_batched
+
+    monkeypatch.setattr(simota_pallas, "T_CHUNK", 128)
+    monkeypatch.setattr(simota_pallas, "GT_TILE", 8)
+
+    rng = np.random.RandomState(11)
+    b, p, g = 2, 300, 20        # 3 chunks (128*3=384), 3 gt tiles (24)
+    pri = np.stack([rng.uniform(0, 320, p), rng.uniform(0, 320, p),
+                    np.full(p, 8.0), np.full(p, 8.0)], -1).astype(
+        np.float32)
+    scores = rng.uniform(1e-4, 1, (b, p, 1)).astype(np.float32)
+    c = rng.uniform(20, 300, (b, p, 2))
+    wh = rng.uniform(4, 80, (b, p, 2))
+    dec = np.concatenate([c - wh / 2, c + wh / 2], -1).astype(np.float32)
+    gc = rng.uniform(20, 300, (b, g, 2))
+    gwh = rng.uniform(8, 100, (b, g, 2))
+    gtb = np.concatenate([gc - gwh / 2, gc + gwh / 2], -1).astype(
+        np.float32)
+    gv = rng.uniform(size=(b, g)) < 0.6
+    args = (jnp.asarray(scores), jnp.asarray(pri), jnp.asarray(dec),
+            jnp.asarray(gtb), jnp.zeros((b, g), jnp.int32),
+            jnp.asarray(gv))
+
+    import jax
+
+    r_x = sim_ota_assign_batched(*args, use_pallas=False)
+    from yunet_tpu.ops.simota_pallas import streamed_simota
+    for folded in (True, False):
+        sa = streamed_simota(
+            scores[..., 0], pri, dec, gtb,
+            np.ones((b, g), np.float32), np.asarray(gv),
+            folded=folded, interpret=True)
+        from yunet_tpu.ops.assign import _assemble_streamed
+        r_p = jax.vmap(_assemble_streamed)(
+            sa.valid_prior, sa.best_gt, sa.cand_idx, sa.topk_iou,
+            jnp.asarray(gtb), jnp.asarray(gv), jnp.asarray(dec))
+        np.testing.assert_array_equal(np.asarray(r_x.fg_mask),
+                                      np.asarray(r_p.fg_mask),
+                                      err_msg=f"folded={folded}")
+        np.testing.assert_array_equal(np.asarray(r_x.matched_gt),
+                                      np.asarray(r_p.matched_gt),
+                                      err_msg=f"folded={folded}")
+        np.testing.assert_allclose(np.asarray(r_x.matched_iou),
+                                   np.asarray(r_p.matched_iou),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"folded={folded}")

@@ -81,9 +81,8 @@ def main(argv=None):
 
     variants = []
     pool_impls = {"rw": backbone.max_pool2x_reduce_window,
-                  "reshape": backbone.max_pool2x_slices} \
-        if hasattr(backbone, "max_pool2x_slices") else \
-        {"rw": backbone.max_pool2x}
+                  "slices": backbone.max_pool2x_slices,
+                  "reshape": backbone.max_pool2x_reshape}
     import functools
     from yunet_tpu.ops import simota_pallas
     simota_orig = simota_pallas.streamed_simota

@@ -51,6 +51,21 @@ def max_pool2x_slices(x: jnp.ndarray) -> jnp.ndarray:
         jnp.maximum(x[:, 1::2, 0::2], x[:, 1::2, 1::2]))
 
 
+def max_pool2x_reshape(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 max pool as a reshape VIEW plus a max over the two window
+    axes. Unlike max_pool2x_slices there are no strided slices — the
+    reshape keeps the minor (channel) dim untouched and is layout-free.
+    Backward is jnp.max's VJP: an eq-mask select fused elementwise
+    (gradient split evenly among tied maxima — ties occur essentially
+    only at ReLU zeros; torch routes to the first element instead)."""
+    b = x.shape[0]
+    h2 = x.shape[1] // 2
+    w2 = x.shape[2] // 2
+    c = x.shape[3]
+    x = x[:, :h2 * 2, :w2 * 2]
+    return x.reshape(b, h2, 2, w2, 2, c).max(axis=(2, 4))
+
+
 max_pool2x = max_pool2x_reduce_window
 
 
