@@ -106,10 +106,11 @@ def main():
     extra["detect_b1_vs_baseline"] = round(
         statistics.median(w1) / BASELINE_FPS, 3)
 
-    # ---- batched serving @320^2, batch 16: BN-folded trunk + vmapped
-    # on-device NMS in ONE compiled program. The folded trunk is ~6x the
-    # unfolded train-graph forward here, and vmap (not lax.map) lays the
-    # per-image NMS onto a batch grid instead of serializing 16 kernels.
+    # ---- batched serving @320^2, batch 16: BN-folded trunk through
+    # XLA's conv emitters (use_pallas=False: at batch>=16 XLA's
+    # batch-minor layouts fill the lanes and depthwise runs on the MXU —
+    # 1.9x the Pallas stencil trunk, which wins only at batch 1) +
+    # vmapped on-device NMS, all in ONE compiled program.
     from yunet_tpu.models.fused import fused_forward
     from yunet_tpu.models.head import flatten_level_outputs
     from yunet_tpu.ops.nms_pallas import pallas_nms
@@ -123,7 +124,8 @@ def main():
 
     @jax.jit
     def serve_batch(x):
-        outs = fused_forward(folded, x.astype(jnp.bfloat16), cfg.model)
+        outs = fused_forward(folded, x.astype(jnp.bfloat16), cfg.model,
+                             use_pallas=False)
         flat = flatten_level_outputs(outs)
         cls = flat["cls"].astype(jnp.float32)
         obj = flat["obj"][..., 0].astype(jnp.float32)

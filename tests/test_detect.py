@@ -84,12 +84,14 @@ def test_fused_forward_matches_reference(yunet_n_pth):
     folded = fold_inference_params(params, state, cfg.model)
     x = jnp.asarray(_img(96, 128, seed=5)[None].astype(np.float32))
     ref, _ = model.forward(params, state, x, train=False)
-    got = fused_forward(folded, x, cfg.model)
-    for k in ("cls", "bbox", "obj", "kps"):
-        for lvl in range(3):
-            np.testing.assert_allclose(
-                np.asarray(got[k][lvl]), np.asarray(ref[k][lvl]),
-                rtol=1e-3, atol=2e-4, err_msg=f"{k}{lvl}")
+    for use_pallas in (True, False):
+        got = fused_forward(folded, x, cfg.model, use_pallas=use_pallas)
+        for k in ("cls", "bbox", "obj", "kps"):
+            for lvl in range(3):
+                np.testing.assert_allclose(
+                    np.asarray(got[k][lvl]), np.asarray(ref[k][lvl]),
+                    rtol=1e-3, atol=2e-4,
+                    err_msg=f"{k}{lvl} use_pallas={use_pallas}")
 
 
 def test_fused_detector_end_to_end(yunet_n_pth):

@@ -71,42 +71,58 @@ def fold_inference_params(params, state, cfg: ModelConfig):
     return out
 
 
-def _unit(u, x):
-    return fused_conv_dp(x, jnp.asarray(u["w1"]), jnp.asarray(u["b1"]),
-                         jnp.asarray(u["wd"]), jnp.asarray(u["bd"]),
-                         relu=u["relu"])
+def _unit(u, x, use_pallas: bool = True):
+    if use_pallas:
+        return fused_conv_dp(x, jnp.asarray(u["w1"]), jnp.asarray(u["b1"]),
+                             jnp.asarray(u["wd"]), jnp.asarray(u["bd"]),
+                             relu=u["relu"])
+    from .layers import conv2d
+    y = conv2d(x, jnp.asarray(u["w1"]), jnp.asarray(u["b1"]))
+    y = conv2d(y, jnp.asarray(u["wd"]), jnp.asarray(u["bd"]), padding=1,
+               depthwise=True)
+    return jnp.maximum(y, 0) if u["relu"] else y
 
 
-def fused_forward(folded, x: jnp.ndarray, cfg: ModelConfig
+def fused_forward(folded, x: jnp.ndarray, cfg: ModelConfig, *,
+                  use_pallas: bool = True
                   ) -> Dict[str, List[jnp.ndarray]]:
-    """x: (N, H, W, 3) raw BGR float. Returns per-level NHWC maps."""
+    """x: (N, H, W, 3) raw BGR float. Returns per-level NHWC maps.
+
+    use_pallas: True runs every ConvDPUnit through the Pallas fused
+    pw->dw->relu kernel — fastest at batch 1, where XLA cannot fill the
+    lane dimension either way and keeping y1 in VMEM wins. False runs
+    the folded weights through XLA's conv emitters — ~1.9x faster at
+    batch >= 16 (measured 5459 vs 2916 img/s at 320^2 b16 with honest
+    readback sync: XLA's batch-minor layouts fill the lanes and its
+    depthwise runs on the MXU, which the stencil kernel cannot match).
+    """
     bb = folded["backbone"]
     y = jax.lax.conv_general_dilated(
         x, bb["stem_conv"]["w"].astype(x.dtype), (2, 2),
         ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
     y = jnp.maximum(y + bb["stem_conv"]["b"].astype(y.dtype), 0)
-    y = _unit(bb["stem_dp"], y)
+    y = _unit(bb["stem_dp"], y, use_pallas)
     feats: List[jnp.ndarray] = []
     for i in range(len(cfg.stage_channels)):
         if i > 0:
-            y = _unit(bb[f"m{i}a"], y)
-            y = _unit(bb[f"m{i}b"], y)
+            y = _unit(bb[f"m{i}a"], y, use_pallas)
+            y = _unit(bb[f"m{i}b"], y, use_pallas)
         if i in cfg.out_idx:
             feats.append(y)
         if i in cfg.downsample_idx:
             y = max_pool2x(y)
     for i in range(len(feats) - 1, 0, -1):
-        feats[i] = _unit(folded["neck"][str(i)], feats[i])
+        feats[i] = _unit(folded["neck"][str(i)], feats[i], use_pallas)
         feats[i - 1] = feats[i - 1] + upsample2x_nearest(feats[i])
-    feats[0] = _unit(folded["neck"]["0"], feats[0])
+    feats[0] = _unit(folded["neck"]["0"], feats[0], use_pallas)
 
     outs: Dict[str, List[jnp.ndarray]] = {"cls": [], "bbox": [],
                                           "obj": [], "kps": []}
     for lvl, f in enumerate(feats):
         d = folded["head"][str(lvl)]
         for u in d.get("share", []):
-            f = _unit(u, f)
+            f = _unit(u, f, use_pallas)
         for key in ("cls", "bbox", "obj", "kps"):
             if key in d:
-                outs[key].append(_unit(d[key], f))
+                outs[key].append(_unit(d[key], f, use_pallas))
     return outs
