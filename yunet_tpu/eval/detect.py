@@ -251,8 +251,18 @@ class Detector:
             def fn(params, state, x):
                 if self.bf16:
                     x = x.astype(jnp.bfloat16)
-                flat, _ = self.model.forward_flat(params, state, x,
-                                                  train=False)
+                if self._folded is not None:
+                    # folded-BN weights through XLA's conv emitters: the
+                    # fastest trunk at batch (the Pallas stencil path
+                    # only wins at batch 1 — see models/fused.py)
+                    from ..models.fused import fused_forward
+                    from ..models.head import flatten_level_outputs
+                    flat = flatten_level_outputs(fused_forward(
+                        self._folded, x, self.cfg.model,
+                        use_pallas=False))
+                else:
+                    flat, _ = self.model.forward_flat(params, state, x,
+                                                      train=False)
                 cls = flat["cls"].astype(jnp.float32)
                 obj = flat["obj"][..., 0].astype(jnp.float32)
                 scores = jax.nn.sigmoid(cls[..., 0]) * jax.nn.sigmoid(obj)
