@@ -91,6 +91,14 @@ def main(argv=None):
         backbone.max_pool2x = pool_impls[pool]
         simota_pallas.streamed_simota = functools.partial(
             simota_orig, folded=(sim == "folded"))
+        if sim == "xla":     # dense XLA SimOTA instead of the kernel
+            cfg = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train,
+                                               pallas_simota=False))
+        else:
+            cfg = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train,
+                                               pallas_simota=True))
         model = YuNet(cfg.model)
         ts, tx = init_train_state(cfg, steps_per_epoch=1000,
                                   total_batch=args.batch)
