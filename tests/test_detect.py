@@ -113,6 +113,29 @@ def test_fused_detector_end_to_end(yunet_n_pth):
                                    rtol=1e-2, atol=0.5)
 
 
+def test_detect_batch_folded_matches_base(yunet_n_pth):
+    """detect_batch's folded-BN XLA trunk branch (taken when the
+    Detector carries folded params) == the unfolded forward_flat
+    branch, per image."""
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.eval import Detector
+    from yunet_tpu.utils import load_pth_params
+
+    cfg = yunet_n()
+    params, state = load_pth_params(yunet_n_pth)
+    base = Detector(cfg, params, state, bf16=False)
+    fused = Detector(cfg, params, state, bf16=False, fused=True)
+    imgs = [_img(80, 100, seed=s) for s in (3, 4, 5)]
+    ra = base.detect_batch(imgs, (96, 64), score_thr=0.01)
+    rb = fused.detect_batch(imgs, (96, 64), score_thr=0.01)
+    for a, b in zip(ra, rb):
+        assert abs(a["bboxes"].shape[0] - b["bboxes"].shape[0]) <= 1
+        n = min(a["bboxes"].shape[0], b["bboxes"].shape[0])
+        if n:
+            np.testing.assert_allclose(a["bboxes"][:n], b["bboxes"][:n],
+                                       rtol=1e-2, atol=0.5)
+
+
 def test_detect_rescale(yunet_n_pth):
     """Detections from a downscaled view map back to original coords."""
     det = init_detector("yunet_n", yunet_n_pth)
