@@ -195,3 +195,47 @@ def test_compare_inference_numpy_decode(yunet_n_pth):
                                atol=1e-2)
     np.testing.assert_allclose(kps[o_np], np.asarray(kps_j)[o_j],
                                rtol=1e-3, atol=1e-2)
+
+
+def test_serving_data_parallel_over_mesh(yunet_n_pth):
+    """Batched serving (forward + score fusion + decode) with the batch
+    sharded over an 8-device 'dp' mesh == the unsharded program —
+    data-parallel serving is the same SPMD program, XLA partitions it
+    from the input sharding alone (no collectives on this path)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.models import YuNet
+    from yunet_tpu.ops.boxes import bbox_decode
+    from yunet_tpu.ops.priors import grid_priors
+    from yunet_tpu.utils import load_pth_params
+
+    cfg = yunet_n()
+    model = YuNet(cfg.model)
+    params, state = load_pth_params(yunet_n_pth)
+    h = w = 64
+    sizes = model.featmap_sizes(h, w)
+    priors = jnp.asarray(grid_priors(sizes, cfg.model.strides,
+                                     cfg.model.prior_offset))
+
+    @jax.jit
+    def serve(p, s, x):
+        flat, _ = model.forward_flat(p, s, x, train=False)
+        scores = (jax.nn.sigmoid(flat["cls"][..., 0])
+                  * jax.nn.sigmoid(flat["obj"][..., 0]))
+        boxes = bbox_decode(priors, flat["bbox"])
+        return scores, boxes
+
+    x = np.random.RandomState(9).randint(
+        0, 256, (8, h, w, 3)).astype(np.float32)
+    ref_s, ref_b = serve(params, state, jnp.asarray(x))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("dp")))
+    got_s, got_b = serve(params, state, xs)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
+                               rtol=1e-5, atol=1e-4)
