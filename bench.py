@@ -141,35 +141,32 @@ def main():
             return dets, keep, kp[idx]
         return jax.vmap(one)(boxes, scores, kps)
 
-    xbs = [jnp.asarray(rng.randint(0, 256, (b, 320, 320, 3))
-                       .astype(np.uint8)) for _ in range(4)]
-    _sync(serve_batch(xbs[0]))
-    for _ in range(10):
-        ob = serve_batch(xbs[0])
-    _sync(ob)
-    itb = iter(range(10 ** 9))
-    wb = _measure_windows(lambda: serve_batch(xbs[next(itb) % 4]),
-                          iters=60, windows=5)
-    fps_typ = statistics.median(wb) * b      # the headline
-    extra["detect_b16_best_imgs_per_s"] = round(max(wb) * b, 1)
+    def serve_windows(batch_size, iters, warmup=8, n_inputs=4):
+        """Measure serve_batch at a batch size (jit re-traces per
+        leading dim); distinct round-robined inputs, readback sync."""
+        xs = [jnp.asarray(rng.randint(0, 256, (batch_size, 320, 320, 3))
+                          .astype(np.uint8)) for _ in range(n_inputs)]
+        _sync(serve_batch(xs[0]))
+        for i in range(warmup):
+            o = serve_batch(xs[i % n_inputs])
+        _sync(o)
+        it = iter(range(10 ** 9))
+        w = _measure_windows(
+            lambda: serve_batch(xs[next(it) % n_inputs]),
+            iters=iters, windows=5)
+        return [v * batch_size for v in w]
 
-    # ---- peak offline throughput: same program at batch 128 (jit
-    # re-traces for the new leading dim) ------------------------------------
-    bb = 128
-    xbb = [jnp.asarray(rng.randint(0, 256, (bb, 320, 320, 3))
-                       .astype(np.uint8)) for _ in range(2)]
-    _sync(serve_batch(xbb[0]))
-    for _ in range(4):
-        obb = serve_batch(xbb[_ % 2])
-    _sync(obb)
-    itbb = iter(range(10 ** 9))
-    wbb = _measure_windows(lambda: serve_batch(xbb[next(itbb) % 2]),
-                           iters=25, windows=5)
-    extra["detect_b128_imgs_per_s"] = round(statistics.median(wbb) * bb, 1)
+    wb = serve_windows(b, iters=60)
+    fps_typ = statistics.median(wb)          # the headline
+    extra["detect_b16_best_imgs_per_s"] = round(max(wb), 1)
+
+    # peak offline throughput: same program at batch 128
+    wbb = serve_windows(128, iters=25)
+    extra["detect_b128_imgs_per_s"] = round(statistics.median(wbb), 1)
     extra["detect_b128_vs_baseline"] = round(
-        statistics.median(wbb) * bb / BASELINE_FPS, 3)
+        statistics.median(wbb) / BASELINE_FPS, 3)
 
-    # ---- train step @640^2 (batch 16 / 64) -------------------------------
+    # ---- train step @640^2 (batch 16 / 64 / 128) -------------------------------
     if not fast:
         import dataclasses
         from yunet_tpu.train import init_train_state, make_train_step

@@ -136,6 +136,22 @@ def test_detect_batch_folded_matches_base(yunet_n_pth):
                                        rtol=1e-2, atol=0.5)
 
 
+def test_detect_batch_mixed_orientation_raises(yunet_n_pth):
+    """Non-square canvases orient per image (resize_img flips (W, H)
+    for portrait inputs): a chunk mixing orientations cannot stack and
+    must raise with a clear message instead of a np.stack shape error —
+    tools/test_widerface.py groups by orientation before chunking."""
+    det = init_detector("yunet_n", yunet_n_pth)
+    land = _img(60, 100, seed=1)     # landscape
+    port = _img(100, 60, seed=2)     # portrait
+    with pytest.raises(ValueError, match="landscape/portrait"):
+        det.detect_batch([land, port], (96, 64), score_thr=0.01)
+    # same orientation works at a non-square canvas
+    r = det.detect_batch([land, _img(50, 90, seed=3)], (96, 64),
+                         score_thr=0.01)
+    assert len(r) == 2
+
+
 def test_detect_rescale(yunet_n_pth):
     """Detections from a downscaled view map back to original coords."""
     det = init_detector("yunet_n", yunet_n_pth)

@@ -8,12 +8,15 @@ every requested variant up front and then interleaves measurement windows
 same contention profile.
 
 Variants are orthogonal flags:
-  --pool rw|reshape     max-pool via lax.reduce_window (grad =
-                        select-and-scatter) vs strided-slice max (grad =
-                        elementwise eq-mask)
-  --dtype f32|uint8     host batch image dtype (uint8 casts on device)
-  --simota folded|v1    SimOTA Pallas kernel variant
-Pass a comma list to A/B: --pool rw,reshape
+  --pool rw|slices|reshape   max-pool impl: lax.reduce_window (grad =
+                             select-and-scatter, the production op) vs
+                             strided-slice max vs reshape-view max
+  --dtype f32|uint8          host batch image dtype (uint8 casts on
+                             device)
+  --simota folded|v1|xla     SimOTA: folded 2-D-grid Pallas kernel
+                             (default), 4-D-grid kernel, or the dense
+                             XLA formulation
+Pass a comma list to A/B: --pool rw,slices
 
 Usage:
   python tools/misc/bench_train_step.py --batch 128 --windows 5

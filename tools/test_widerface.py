@@ -95,15 +95,24 @@ def main(argv=None):
     if isinstance(mode, tuple):
         # fixed canvas (modes 0/1/>30): one batched forward per chunk —
         # ~7x the per-image dispatch (the reference loops bs=1,
-        # test_widerface.py:131-171; a TPU wants the batch)
+        # test_widerface.py:131-171; a TPU wants the batch). Non-square
+        # canvases orient per image (resize_img flips (W, H) for
+        # portrait inputs), so chunks are formed within orientation
+        # groups; square canvases form one group.
         bs = 32
+        if mode[0] == mode[1]:
+            groups = [records]
+        else:
+            groups = [[r for r in records if r.width > r.height],
+                      [r for r in records if r.width <= r.height]]
         n = 0
-        for start in range(0, len(records), bs):
-            chunk = records[start:start + bs]
-            outs = det.detect_batch([load(r) for r in chunk], mode)
-            for rec, out in zip(chunk, outs):
-                record_result(rec, out, n)
-                n += 1
+        for group in groups:
+            for start in range(0, len(group), bs):
+                chunk = group[start:start + bs]
+                outs = det.detect_batch([load(r) for r in chunk], mode)
+                for rec, out in zip(chunk, outs):
+                    record_result(rec, out, n)
+                    n += 1
     else:
         for n, rec in enumerate(records):
             out = det.detect(load(rec), mode=mode,

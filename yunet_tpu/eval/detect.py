@@ -238,8 +238,21 @@ class Detector:
         views, scales = [], []
         for img in imgs_bgr:
             det_img, det_scale = resize_img(img, mode)
-            views.append(det_img.astype(np.float32))
+            # ship uint8 when possible: 4x less host->device traffic,
+            # cast to bf16 on device (same contract as detect())
+            if not (self.bf16 and det_img.dtype == np.uint8):
+                det_img = det_img.astype(np.float32)
+            views.append(det_img)
             scales.append(det_scale)
+        shapes = {v.shape for v in views}
+        if len(shapes) != 1:
+            # non-square canvases orient per image (resize_img flips the
+            # (W, H) tuple for portrait inputs) — a mixed batch cannot
+            # stack; callers should group by orientation
+            raise ValueError(
+                f"detect_batch needs one canvas shape, got {shapes}; "
+                "group landscape/portrait images separately for "
+                "non-square modes")
         x = jnp.asarray(np.stack(views))
         h, w = views[0].shape[:2]
         if (h, w) not in self._batch_cache:
