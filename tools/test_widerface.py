@@ -92,32 +92,40 @@ def main(argv=None):
             raise SystemExit(f"missing image {rec.filename}")
         return img
 
+    # One batched forward per chunk of same-canvas images — ~5-7x the
+    # reference's bs=1 loop (test_widerface.py:131-171); a TPU wants the
+    # batch. The canvas must be uniform within a chunk, so records group
+    # by what determines it: nothing for square letterbox modes,
+    # orientation for non-square letterbox modes (resize_img flips
+    # (W, H) for portrait inputs), and the padded-bucket shape for
+    # origin-size (mode 2, the headline protocol, bucketed by --bucket).
+    bs = 32
     if isinstance(mode, tuple):
-        # fixed canvas (modes 0/1/>30): one batched forward per chunk —
-        # ~7x the per-image dispatch (the reference loops bs=1,
-        # test_widerface.py:131-171; a TPU wants the batch). Non-square
-        # canvases orient per image (resize_img flips (W, H) for
-        # portrait inputs), so chunks are formed within orientation
-        # groups; square canvases form one group.
-        bs = 32
         if mode[0] == mode[1]:
             groups = [records]
         else:
             groups = [[r for r in records if r.width > r.height],
                       [r for r in records if r.width <= r.height]]
-        n = 0
-        for group in groups:
-            for start in range(0, len(group), bs):
-                chunk = group[start:start + bs]
-                outs = det.detect_batch([load(r) for r in chunk], mode)
-                for rec, out in zip(chunk, outs):
-                    record_result(rec, out, n)
-                    n += 1
     else:
-        for n, rec in enumerate(records):
-            out = det.detect(load(rec), mode=mode,
-                             pad_divisor=args.bucket)
-            record_result(rec, out, n)
+        d = args.bucket
+        by_bucket = {}
+        for r in records:
+            key = (-(-r.height // d) * d, -(-r.width // d) * d)
+            by_bucket.setdefault(key, []).append(r)
+        groups = list(by_bucket.values())
+    ladder = (1, 2, 4, 8, 16, bs)   # pad partial chunks up to a rung so
+    n = 0                           # each canvas compiles few batch sizes
+    for group in groups:
+        for start in range(0, len(group), bs):
+            chunk = group[start:start + bs]
+            imgs = [load(r) for r in chunk]
+            target = next(s for s in ladder if s >= len(imgs))
+            imgs += [imgs[-1]] * (target - len(imgs))
+            outs = det.detect_batch(imgs, mode,
+                                    pad_divisor=args.bucket)
+            for rec, out in zip(chunk, outs):
+                record_result(rec, out, n)
+                n += 1
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)

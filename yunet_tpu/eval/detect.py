@@ -226,18 +226,23 @@ class Detector:
             "labels": np.zeros((sel.shape[0],), np.int64),
         }
 
-    def detect_batch(self, imgs_bgr, mode: Tuple[int, int], *,
-                     score_thr: Optional[float] = None):
-        """Batched fixed-canvas detection (for mode-0/1 WIDER eval and
-        serving): all images are letterboxed to one canvas, run as a single
-        batch forward, then per-image host NMS."""
+    def detect_batch(self, imgs_bgr, mode: Union[str, Tuple[int, int]], *,
+                     score_thr: Optional[float] = None,
+                     pad_divisor: int = 32):
+        """Batched detection on one shared canvas (for mode-0/1/2 WIDER
+        eval and serving): all images are letterboxed (tuple modes) or
+        zero-padded to the bucket (ORIGIN/AUTO + pad_divisor) onto the
+        SAME canvas shape, run as a single batch forward, then per-image
+        host NMS. The caller groups images so the canvas is uniform
+        (orientation groups for non-square tuple modes; padded-bucket
+        groups for origin-size)."""
         import cv2  # noqa: F401 (resize_img uses it)
 
         score_thr = (self.cfg.test.score_thr if score_thr is None
                      else score_thr)
         views, scales = [], []
         for img in imgs_bgr:
-            det_img, det_scale = resize_img(img, mode)
+            det_img, det_scale = resize_img(img, mode, pad_divisor)
             # ship uint8 when possible: 4x less host->device traffic,
             # cast to bf16 on device (same contract as detect())
             if not (self.bf16 and det_img.dtype == np.uint8):
@@ -247,12 +252,14 @@ class Detector:
         shapes = {v.shape for v in views}
         if len(shapes) != 1:
             # non-square canvases orient per image (resize_img flips the
-            # (W, H) tuple for portrait inputs) — a mixed batch cannot
-            # stack; callers should group by orientation
+            # (W, H) tuple for portrait inputs) and origin-size pads to
+            # per-image buckets — a mixed batch cannot stack; callers
+            # group by orientation / padded-bucket shape
             raise ValueError(
                 f"detect_batch needs one canvas shape, got {shapes}; "
                 "group landscape/portrait images separately for "
-                "non-square modes")
+                "non-square modes, or by padded-bucket shape for "
+                "ORIGIN/AUTO")
         x = jnp.asarray(np.stack(views))
         h, w = views[0].shape[:2]
         if (h, w) not in self._batch_cache:
