@@ -255,3 +255,24 @@ def test_serving_data_parallel_over_mesh(yunet_n_pth):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_detect_sweep_ladder_and_misfit(yunet_n_pth):
+    """detect_sweep: ladder padding (3 images -> chunk of 4 with a
+    duplicate that must be dropped from the results), a wrong size hint
+    (falls back to solo detect instead of aborting), input-order
+    results, and the empty-batch guard."""
+    det = init_detector("yunet_n", yunet_n_pth)
+    imgs = [_img(60, 100, seed=i) for i in range(3)]
+    wrong = _img(100, 60, seed=9)          # portrait; hint says landscape
+    entries = [((lambda i=img: i), (60, 100)) for img in imgs]
+    entries.append(((lambda: wrong), (60, 100)))
+    outs = det.detect_sweep(entries, (96, 64), score_thr=0.01)
+    assert len(outs) == 4
+    for img, out in zip(imgs + [wrong], outs):
+        ref = det.detect(img, mode=(96, 64), score_thr=0.01)
+        assert ref["bboxes"].shape == out["bboxes"].shape
+        if ref["bboxes"].shape[0]:
+            np.testing.assert_allclose(ref["bboxes"], out["bboxes"],
+                                       rtol=1e-4, atol=1e-3)
+    assert det.detect_batch([], (96, 64)) == []

@@ -74,17 +74,15 @@ def main(argv=None):
         records = records[:args.limit]
     results = {}
     t0 = time.time()
+    done = [0]
 
-    def record_result(rec, out, n):
+    def record_result(rec, out):
         bb = out["bboxes"]
         # xyxy -> xywh rows for the official protocol
         xywh = np.concatenate(
             [bb[:, :2], bb[:, 2:4] - bb[:, :2], bb[:, 4:5]], axis=1)
         event, name = rec.filename.split("/")
         results.setdefault(event, {})[name[:-4]] = xywh.astype(np.float64)
-        if (n + 1) % 200 == 0:
-            print(f"{n + 1}/{len(records)} images, "
-                  f"{(n + 1) / (time.time() - t0):.1f} img/s")
 
     def load(rec):
         img = cv2.imread(os.path.join(img_prefix, rec.filename))
@@ -92,40 +90,23 @@ def main(argv=None):
             raise SystemExit(f"missing image {rec.filename}")
         return img
 
-    # One batched forward per chunk of same-canvas images — ~5-7x the
-    # reference's bs=1 loop (test_widerface.py:131-171); a TPU wants the
-    # batch. The canvas must be uniform within a chunk, so records group
-    # by what determines it: nothing for square letterbox modes,
-    # orientation for non-square letterbox modes (resize_img flips
-    # (W, H) for portrait inputs), and the padded-bucket shape for
-    # origin-size (mode 2, the headline protocol, bucketed by --bucket).
-    bs = 32
-    if isinstance(mode, tuple):
-        if mode[0] == mode[1]:
-            groups = [records]
-        else:
-            groups = [[r for r in records if r.width > r.height],
-                      [r for r in records if r.width <= r.height]]
-    else:
-        d = args.bucket
-        by_bucket = {}
-        for r in records:
-            key = (-(-r.height // d) * d, -(-r.width // d) * d)
-            by_bucket.setdefault(key, []).append(r)
-        groups = list(by_bucket.values())
-    ladder = (1, 2, 4, 8, 16, bs)   # pad partial chunks up to a rung so
-    n = 0                           # each canvas compiles few batch sizes
-    for group in groups:
-        for start in range(0, len(group), bs):
-            chunk = group[start:start + bs]
-            imgs = [load(r) for r in chunk]
-            target = next(s for s in ladder if s >= len(imgs))
-            imgs += [imgs[-1]] * (target - len(imgs))
-            outs = det.detect_batch(imgs, mode,
-                                    pad_divisor=args.bucket)
-            for rec, out in zip(chunk, outs):
-                record_result(rec, out, n)
-                n += 1
+    def progress(idx, res):
+        done[0] += 1
+        if done[0] % 200 == 0:
+            print(f"{done[0]}/{len(records)} images, "
+                  f"{done[0] / (time.time() - t0):.1f} img/s")
+
+    # Batched sweep (Detector.detect_sweep): same-canvas images run as
+    # one forward per chunk — ~5-7x the reference's bs=1 loop
+    # (test_widerface.py:131-171); a TPU wants the batch. Grouping,
+    # chunk-size ladder, and header-vs-actual size mismatch fallback
+    # all live in the library.
+    outs = det.detect_sweep(
+        [((lambda r=rec: load(r)), (rec.height, rec.width))
+         for rec in records],
+        mode, pad_divisor=args.bucket, on_result=progress)
+    for rec, out in zip(records, outs):
+        record_result(rec, out)
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)

@@ -29,6 +29,24 @@ from ..ops.priors import grid_priors
 from .. import native
 
 
+def canvas_shape(h: int, w: int, mode: Union[str, Tuple[int, int]],
+                 divisor: int = 32) -> Tuple[int, int]:
+    """(H, W) of the canvas resize_img will produce for an (h, w) image —
+    the single source of truth for batching: images whose canvas_shape
+    matches can stack into one detect_batch chunk."""
+    if mode in ("ORIGIN", "AUTO"):
+        return (-(-h // divisor) * divisor, -(-w // divisor) * divisor)
+    if mode == "VGA":
+        input_size = (640, 480)
+    elif isinstance(mode, str):
+        input_size = tuple(int(v) for v in mode.split(","))
+    else:
+        input_size = tuple(mode)
+    x, y = max(input_size), min(input_size)
+    # landscape fills the long side; portrait (and square) the short
+    return (y, x) if w > h else (x, y)
+
+
 def resize_img(img: np.ndarray, mode: Union[str, Tuple[int, int]],
                divisor: int = 32) -> Tuple[np.ndarray, float]:
     """Reference tools/detect_image.py:99-132 preprocessing modes.
@@ -42,21 +60,14 @@ def resize_img(img: np.ndarray, mode: Union[str, Tuple[int, int]],
     import cv2
 
     if mode in ("ORIGIN", "AUTO"):
-        h = -(-img.shape[0] // divisor) * divisor
-        w = -(-img.shape[1] // divisor) * divisor
+        h, w = canvas_shape(img.shape[0], img.shape[1], mode, divisor)
         if (h, w) != img.shape[:2]:
             padded = np.zeros((h, w, 3), dtype=img.dtype)
             padded[:img.shape[0], :img.shape[1]] = img
             img = padded
         return img, 1.0
-    if mode == "VGA":
-        input_size = (640, 480)
-    elif isinstance(mode, str):
-        input_size = tuple(int(v) for v in mode.split(","))
-    else:
-        input_size = tuple(mode)
-    x, y = max(input_size), min(input_size)
-    input_size = (x, y) if img.shape[1] > img.shape[0] else (y, x)
+    ch, cw = canvas_shape(img.shape[0], img.shape[1], mode, divisor)
+    input_size = (cw, ch)                    # resize_img works in (W, H)
     im_ratio = img.shape[0] / img.shape[1]
     model_ratio = input_size[1] / input_size[0]
     if im_ratio > model_ratio:
@@ -249,6 +260,8 @@ class Detector:
                 det_img = det_img.astype(np.float32)
             views.append(det_img)
             scales.append(det_scale)
+        if not views:
+            return []
         shapes = {v.shape for v in views}
         if len(shapes) != 1:
             # non-square canvases orient per image (resize_img flips the
@@ -312,6 +325,69 @@ class Detector:
                             "labels": np.zeros((sel.shape[0],),
                                                np.int64)})
         return results
+
+    def detect_sweep(self, entries, mode: Union[str, Tuple[int, int]], *,
+                     pad_divisor: int = 32, batch_size: int = 32,
+                     score_thr: Optional[float] = None,
+                     on_result=None):
+        """Batched detection sweep over many images of varying sizes —
+        the engine behind tools/test_widerface.py and the in-training
+        eval hook (~5-7x the reference's bs=1 loop on a TPU).
+
+        entries: sequence of (load_fn, (height, width)) — load_fn() is
+        called lazily per chunk; the size hint (e.g. labelv2 header
+        dims) drives the grouping. Images group by their canvas_shape
+        (the same rule resize_img applies), chunks pad up a
+        {1,2,4,...,batch_size} ladder so each canvas compiles at most a
+        few batch sizes, and any image whose LOADED size disagrees with
+        its hint (EXIF rotation, stale header) falls back to a solo
+        detect() instead of aborting the sweep.
+
+        Returns results in input order; on_result(index, result) fires
+        as each completes (for progress reporting).
+        """
+        groups: dict = {}
+        for idx, (load_fn, (h, w)) in enumerate(entries):
+            key = canvas_shape(int(h), int(w), mode, pad_divisor)
+            groups.setdefault(key, []).append((idx, load_fn, (h, w)))
+
+        ladder = [batch_size]
+        while ladder[-1] > 1:
+            ladder.append(ladder[-1] // 2)
+        ladder = ladder[::-1]
+
+        results: dict = {}
+
+        def emit(idx, res):
+            results[idx] = res
+            if on_result is not None:
+                on_result(idx, res)
+
+        for key, members in groups.items():
+            for start in range(0, len(members), batch_size):
+                chunk = members[start:start + batch_size]
+                loaded, misfits = [], []
+                for idx, load_fn, hint in chunk:
+                    img = load_fn()
+                    actual = canvas_shape(img.shape[0], img.shape[1],
+                                          mode, pad_divisor)
+                    (loaded if actual == key else misfits).append(
+                        (idx, img))
+                for idx, img in misfits:   # hint was wrong: run solo
+                    emit(idx, self.detect(img, mode=mode,
+                                          score_thr=score_thr,
+                                          pad_divisor=pad_divisor))
+                if not loaded:
+                    continue
+                imgs = [img for _, img in loaded]
+                target = next(s for s in ladder if s >= len(imgs))
+                imgs = imgs + [imgs[-1]] * (target - len(imgs))
+                outs = self.detect_batch(imgs, mode,
+                                         score_thr=score_thr,
+                                         pad_divisor=pad_divisor)
+                for (idx, _), out in zip(loaded, outs):
+                    emit(idx, out)
+        return [results[i] for i in range(len(results))]
 
     def detect_tta(self, img_bgr: np.ndarray,
                    scales=((640, 640),), flip: bool = False, *,

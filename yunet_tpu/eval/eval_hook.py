@@ -78,12 +78,20 @@ def make_wider_eval_hook(cfg: Config, *,
                                   params)
         det.state = jax.tree.map(lambda x: jnp.asarray(to_host(x)),
                                  ts.state)
-        results = {}
-        for rec in records:
+
+        def load(rec):
             img = cv2.imread(os.path.join(img_prefix, rec.filename))
             if img is None:
                 raise FileNotFoundError(rec.filename)
-            out = det.detect(img, mode=mode, pad_divisor=pad_divisor)
+            return img
+
+        # batched sweep — same engine as tools/test_widerface.py
+        outs = det.detect_sweep(
+            [((lambda r=rec: load(r)), (rec.height, rec.width))
+             for rec in records],
+            mode, pad_divisor=pad_divisor)
+        results = {}
+        for rec, out in zip(records, outs):
             bb = out["bboxes"]
             xywh = np.concatenate(
                 [bb[:, :2], bb[:, 2:4] - bb[:, :2], bb[:, 4:5]], axis=1)
