@@ -1,7 +1,6 @@
 """Extended aug library + TTA + XML reader + misc utils tests."""
 
 import numpy as np
-import pytest
 
 from yunet_tpu.data.aug_extra import (expand, min_iou_random_crop, mosaic4,
                                       photometric_distortion)

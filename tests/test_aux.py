@@ -1,7 +1,6 @@
 """Auxiliary subsystem tests: EMA, hooks, config overrides, flops, apis,
 checkpointing, parallel helpers."""
 
-import dataclasses
 import os
 
 import numpy as np

@@ -78,7 +78,6 @@ def make_dataset(n_imgs, img_size, rng, max_gts):
 
 def run(steps=600, img_size=160, n_imgs=8, seed=0, verbose=True):
     import dataclasses
-    import jax
     import jax.numpy as jnp
 
     from yunet_tpu.config import yunet_n

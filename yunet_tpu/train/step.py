@@ -23,7 +23,6 @@ Loss composition parity (yunet_head.py:418-534):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
