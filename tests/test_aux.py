@@ -124,3 +124,33 @@ def test_autorank(tmp_path):
     rows = [ln for ln in log.read_text().splitlines() if ln]
     import json
     assert json.loads(rows[0])["tag"] == "b"  # sorted by hard desc
+
+
+def test_widerface_eval_mode_mapping():
+    """Numeric protocol modes map exactly as tools/test_widerface.py
+    (reference tools/test_widerface.py:76-97)."""
+    import pytest
+    from yunet_tpu.eval import widerface_eval_mode
+
+    assert widerface_eval_mode(0) == (640, 640)
+    assert widerface_eval_mode(1) == (1650, 1100)
+    assert widerface_eval_mode(2) == "ORIGIN"
+    assert widerface_eval_mode(320) == (320, 320)
+    for bad in (3, 30, -1):
+        with pytest.raises(ValueError):
+            widerface_eval_mode(bad)
+
+
+def test_graft_entry_single_chip():
+    """__graft_entry__.entry() returns a jittable forward that runs on
+    the test backend (the driver compile-checks exactly this)."""
+    import sys, os
+    import jax
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    assert set(out) == {"cls", "bbox", "obj", "kps"}
+    assert all(v.shape[1] == 8400 for v in out.values())
