@@ -150,3 +150,39 @@ def test_compare_inference_cli(wider_fixture, tmp_path, yunet_n_pth):
     cli.main(["--models", f"jax:yunet_n:{yunet_n_pth}",
               "onnx:/root/reference/onnx/yunet_n_320_320.onnx",
               "--image", img, "--iters", "2"])
+
+
+def test_generic_test_cli_smoke(wider_fixture, yunet_n_pth, tmp_path,
+                                capsys):
+    """tools/test.py main(): val inference + VOC mAP + results pickle."""
+    import pickle
+
+    root, _ = wider_fixture
+    import test as test_cli                     # tools/test.py
+    out_pkl = tmp_path / "dets.pkl"
+    test_cli.main([
+        "yunet_n", yunet_n_pth,
+        "--ann", str(root / "labelv2.txt"),
+        "--img-prefix", str(root / "images"),
+        "--mode", "(96, 64)",
+        "--out", str(out_pkl),
+    ])
+    assert "mAP@0.5" in capsys.readouterr().out
+    with open(out_pkl, "rb") as f:
+        dets = pickle.load(f)
+    assert len(dets) == N_IMAGES
+
+
+def test_detect_image_cli_smoke(wider_fixture, yunet_n_pth, tmp_path):
+    """tools/detect_image.py main(): single-image detect + drawn output."""
+    import cv2
+
+    root, _ = wider_fixture
+    import detect_image as di_cli
+    src = str(root / "images" / "0--Ev" / "img0.png")
+    out = tmp_path / "out.jpg"
+    di_cli.main([
+        "yunet_n", yunet_n_pth, src,
+        "--out", str(out), "--mode", "96,64", "--score-thresh", "0.01",
+    ])
+    assert out.exists() and cv2.imread(str(out)) is not None

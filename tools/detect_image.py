@@ -12,7 +12,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Detect faces in one image")
     p.add_argument("config", help="yunet_n | yunet_s")
     p.add_argument("checkpoint", help=".pth (reference) or orbax ckpt dir")
@@ -27,7 +27,7 @@ def parse_args():
     p.add_argument("--fused", action="store_true",
                    help="BN-folded trunk with the fused Pallas kernel")
     p.add_argument("--no-kps", action="store_true")
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
 def load_weights(cfg, path):
@@ -42,8 +42,8 @@ def load_weights(cfg, path):
         path, shared_stacked_convs=cfg.model.shared_stacked_convs)
 
 
-def main():
-    args = parse_args()
+def main(argv=None):
+    args = parse_args(argv)
     import cv2
     import dataclasses
 

@@ -15,7 +15,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("config", help="yunet_n | yunet_s")
     p.add_argument("checkpoint")
@@ -26,11 +26,11 @@ def parse_args():
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--mode", default="(640, 640)",
                    help="detector resize mode")
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
-def main():
-    args = parse_args()
+def main(argv=None):
+    args = parse_args(argv)
     import ast
     import cv2
     import numpy as np
