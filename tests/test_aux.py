@@ -154,3 +154,29 @@ def test_graft_entry_single_chip():
     out = jax.jit(fn)(*args)
     assert set(out) == {"cls", "bbox", "obj", "kps"}
     assert all(v.shape[1] == 8400 for v in out.values())
+
+
+def test_small_tool_mains_smoke(yunet_n_pth, tmp_path, capsys):
+    """argparse-level smoke for the small CLI mains: get_flops,
+    misc/print_config, yunet2cpp (reference tools of the same names)."""
+    import sys, os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    sys.path.insert(0, os.path.join(root, "tools", "misc"))
+
+    import get_flops
+    get_flops.main(["yunet_n"])
+    out = capsys.readouterr().out
+    assert "149" in out and "75,856" in out
+
+    import print_config
+    print_config.main(["yunet_s", "--cfg-options", "train.lr=0.02"])
+    out = capsys.readouterr().out
+    assert '"lr": 0.02' in out and "yunet_s" in out
+
+    import yunet2cpp
+    dst = tmp_path / "facedetectcnn-data.cpp"
+    yunet2cpp.main(["yunet_n", yunet_n_pth, "--output-file", str(dst),
+                    "--no-summary"])
+    src = dst.read_text()
+    assert "ConvInfoStruct" in src and "float" in src

@@ -11,11 +11,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("config", help="yunet_n | yunet_s")
     p.add_argument("--shape", type=int, nargs="+", default=[320, 320])
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from yunet_tpu.config import get_config
     from yunet_tpu.models import YuNet

@@ -14,11 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))))
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("config", help="yunet_n | yunet_s")
     p.add_argument("--cfg-options", nargs="*", default=[])
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from yunet_tpu.config import apply_overrides, get_config
 

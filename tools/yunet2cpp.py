@@ -14,14 +14,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("config", help="yunet_n | yunet_s")
     p.add_argument("checkpoint")
     p.add_argument("--output-file",
                    default="./work_dirs/facedetectcnn-data.cpp")
     p.add_argument("--no-summary", action="store_true")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax
     jax.config.update("jax_platforms", "cpu")  # pure host-side tool
