@@ -298,3 +298,19 @@ def test_cpp_param_count(yunet_n_pth):
     full = sum(np.prod(l.shape)
                for l in jax.tree_util.tree_leaves(p))
     assert total == full - bn_params + 16 * 5
+
+
+def test_yunet2onnx_cli_smoke(yunet_n_pth, tmp_path, capsys):
+    """tools/yunet2onnx.py main(): export + --verify round-trip
+    (reference yunet2onnx.py:169-210 verification direction)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import yunet2onnx
+
+    out = tmp_path / "y.onnx"
+    yunet2onnx.main(["yunet_n", yunet_n_pth, "--output", str(out),
+                     "--shape", "128", "96", "--verify"])
+    printed = capsys.readouterr().out
+    assert out.exists() and out.stat().st_size > 100_000
+    assert "verify" in printed.lower() or "ok" in printed.lower()

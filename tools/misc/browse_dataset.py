@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))))
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("config", help="yunet_n | yunet_s")
     p.add_argument("--output-dir", default="./browse_out")
@@ -21,7 +21,7 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ann", default=None)
     p.add_argument("--img-prefix", default=None)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import numpy as np
 

@@ -15,13 +15,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))))
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("config", help="yunet_n | yunet_s")
     p.add_argument("--split", default="val", choices=["train", "val"])
     p.add_argument("--out", default="image_metas.pkl")
     p.add_argument("--ann", default=None)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from yunet_tpu.config import get_config
     from yunet_tpu.data import parse_labelv2

@@ -17,7 +17,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("config", help="yunet_n | yunet_s")
     p.add_argument("checkpoint")
@@ -25,7 +25,7 @@ def main():
     p.add_argument("--shape", type=int, nargs="+", default=[640, 640])
     p.add_argument("--dynamic", action="store_true")
     p.add_argument("--verify", action="store_true")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     # export + verification are host-side work; keep it off the TPU so the
     # f32 verify tolerances hold and eager ops don't pay tunnel latency
