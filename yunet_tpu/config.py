@@ -99,6 +99,12 @@ class DataConfig:
     # libjpeg decode when the crop is downscaled anyway
     decoded_cache: str | None = None
     reduced_decode: bool = False
+    # HBM-staged dataset + on-device crop/resize/flip (data/device_aug.py):
+    # host ships only crop geometry + GTs per step — for hosts whose CPU
+    # or host->device link cannot feed the chip
+    device_aug: bool = False
+    bank_size: int = 640       # staged short-side resolution
+    bank_canvas: int = 1152    # square canvas (>= 1.5 * bank_size + slack)
 
 
 @dataclass(frozen=True)

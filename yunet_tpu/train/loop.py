@@ -68,15 +68,29 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
                           max_gts=cfg.data.max_gts,
                           crop_choice=cfg.data.crop_choice,
                           flip_ratio=cfg.data.flip_ratio)
-        loader = TrainLoader(
-            cfg.data.train_ann, cfg.data.train_img_prefix,
-            batch_size=cfg.data.samples_per_device * n_local,
-            spec=spec, num_workers=cfg.data.workers, seed=cfg.train.seed,
-            min_size=cfg.data.min_size,
-            process_index=jax.process_index(),
-            process_count=jax.process_count(), start_step=resume_step,
-            decoded_cache=cfg.data.decoded_cache,
-            reduced_decode=cfg.data.reduced_decode)
+        if cfg.data.device_aug:
+            from ..data.device_aug import DeviceAugLoader
+            loader = DeviceAugLoader(
+                cfg.data.train_ann, cfg.data.train_img_prefix,
+                batch_size=cfg.data.samples_per_device * n_local,
+                spec=spec, seed=cfg.train.seed,
+                min_size=cfg.data.min_size,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+                start_step=resume_step,
+                bank_size=cfg.data.bank_size,
+                bank_canvas=cfg.data.bank_canvas)
+        else:
+            loader = TrainLoader(
+                cfg.data.train_ann, cfg.data.train_img_prefix,
+                batch_size=cfg.data.samples_per_device * n_local,
+                spec=spec, num_workers=cfg.data.workers,
+                seed=cfg.train.seed,
+                min_size=cfg.data.min_size,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(), start_step=resume_step,
+                decoded_cache=cfg.data.decoded_cache,
+                reduced_decode=cfg.data.reduced_decode)
     steps_per_epoch = loader.steps_per_epoch
     # n_dev is already the GLOBAL device count (mesh spans all processes)
     total_batch = cfg.data.samples_per_device * n_dev
@@ -115,6 +129,22 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
         from .hooks import SampleSizeStatistics
         stats = SampleSizeStatistics()
 
+    bank_dev = None
+    if hasattr(loader, "bank"):
+        # HBM-staged dataset: one-time device transfer, then injected
+        # into every batch (the step resamples crops on device)
+        repl = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+        t_stage = time.time()
+        bank_dev = loader.bank.to_device(repl)
+        jax.block_until_ready(bank_dev)
+        logger.info(
+            f"staged {len(loader.bank)} images "
+            f"({bank_dev.nbytes / 1e9:.2f} GB) into device HBM "
+            f"in {time.time() - t_stage:.1f}s")
+
     if jax.process_count() > 1:
         # Align processes before the first (compile-heavy) step: startup
         # skew larger than the collective-rendezvous deadline would make
@@ -132,6 +162,8 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
     for i in range(start_step, total_steps):
         batch = next(it)
         batch.pop("num_overflow", None)
+        if bank_dev is not None:
+            batch["bank"] = bank_dev
         if stats is not None:
             stats.update(jax.device_get(
                 {k: batch[k] for k in ("gt_bboxes", "gt_valid")}))

@@ -161,6 +161,18 @@ def make_train_step(cfg: Config, model: YuNet, tx, *, img_size: int,
     axis = "dp" if mesh is not None else None
 
     def _step(ts: TrainState, batch):
+        batch = dict(batch)
+        bank = batch.pop("bank", None)
+        if bank is not None:
+            # HBM-staged dataset: materialize the augmented images on
+            # device from crop geometry (data/device_aug.py) — no image
+            # pixels crossed the host->device link this step
+            from ..data.device_aug import device_resample
+            batch["image"] = device_resample(
+                bank, batch.pop("aug_idx"), batch.pop("aug_y0"),
+                batch.pop("aug_x0"), batch.pop("aug_side"),
+                batch.pop("aug_flip"), out_size=img_size,
+                dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32)
         grads, (new_state, metrics) = jax.grad(
             lambda p: loss_fn(model, cfg, p, ts.state, batch, priors,
                               axis_name=axis), has_aux=True)(ts.params)
@@ -190,9 +202,16 @@ def make_train_step(cfg: Config, model: YuNet, tx, *, img_size: int,
     ts_spec = TrainState(
         params=replicated, state=replicated, opt_state=replicated,
         step=replicated, ema_params=replicated)
-    data_spec = {"image": batch_spec, "gt_bboxes": batch_spec,
-                 "gt_labels": batch_spec, "gt_kps": batch_spec,
-                 "gt_valid": batch_spec}
+    data_spec = {"gt_bboxes": batch_spec, "gt_labels": batch_spec,
+                 "gt_kps": batch_spec, "gt_valid": batch_spec}
+    if cfg.data.device_aug:
+        # bank replicated (each chip holds the staged dataset); geometry
+        # scalars are batch-sharded like the GTs
+        data_spec["bank"] = replicated
+        for k in ("aug_idx", "aug_y0", "aug_x0", "aug_side", "aug_flip"):
+            data_spec[k] = batch_spec
+    else:
+        data_spec["image"] = batch_spec
 
     sharded = jax.shard_map(
         _step, mesh=mesh,
