@@ -152,6 +152,31 @@ def test_compare_inference_cli(wider_fixture, tmp_path, yunet_n_pth):
               "--image", img, "--iters", "2"])
 
 
+def test_compare_inference_eval_ap_gate(wider_fixture, yunet_n_pth):
+    """--eval: the full WIDER protocol through the exported-ONNX engine —
+    the AP-level export-drift gate (reference compare_inference.py:744+,
+    SURVEY §4 test-strategy #3). GT = the JAX detector's detections at the
+    same letterboxed 320x320 protocol; the independent numpy decode of the
+    golden ONNX must reproduce them at AP ~1.0. Catches export or decode
+    drift at the metric level, not just tensor atol."""
+    root, det = wider_fixture
+    gt_dir = _build_gt_from_detections(root, det, (320, 320), "ci_eval")
+
+    import compare_inference as cli
+
+    out = cli.main([
+        "--models", "onnx:/root/reference/onnx/yunet_n_320_320.onnx",
+        "--eval", "--score-thr", str(THR),
+        "--ann", str(root / "labelv2.txt"),
+        "--img-prefix", str(root / "images"),
+        "--gt-dir", gt_dir,
+    ])
+    aps = next(iter(out.values()))
+    assert len(aps) == 3
+    for ap in aps:
+        assert ap > 0.98, aps
+
+
 def test_generic_test_cli_smoke(wider_fixture, yunet_n_pth, tmp_path,
                                 capsys):
     """tools/test.py main(): val inference + VOC mAP + results pickle."""

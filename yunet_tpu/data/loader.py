@@ -143,11 +143,14 @@ class TrainLoader:
 
 
 def device_prefetch(iterator, *, sharding=None, depth: int = 2):
-    """Stage host batches onto device ahead of consumption."""
-    import collections
-    import jax
+    """Stage host batches onto device ahead of consumption.
 
-    buf = collections.deque()
+    The device_put runs on a staging thread: on transports where the put
+    blocks for the transfer (tunneled devices), an inline put would
+    serialize host->device traffic with the step dispatch loop; the
+    thread overlaps it with device compute (jax releases the GIL during
+    the transfer)."""
+    import jax
 
     def _put(batch):
         if sharding is not None:
@@ -162,16 +165,32 @@ def device_prefetch(iterator, *, sharding=None, depth: int = 2):
             return jax.device_put(batch, sharding)
         return jax.device_put(batch)
 
-    it = iter(iterator)
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END = object()
+
+    def _stage():
+        it = iter(iterator)
+        while not stop.is_set():
+            try:
+                staged = _put(next(it))
+            except StopIteration:
+                q.put(_END)
+                return
+            while not stop.is_set():
+                try:
+                    q.put(staged, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    t = threading.Thread(target=_stage, daemon=True)
+    t.start()
     try:
-        for _ in range(depth):
-            buf.append(_put(next(it)))
-    except StopIteration:
-        pass
-    while buf:
-        out = buf.popleft()
-        try:
-            buf.append(_put(next(it)))
-        except StopIteration:
-            pass
-        yield out
+        while True:
+            out = q.get()
+            if out is _END:
+                return
+            yield out
+    finally:
+        stop.set()

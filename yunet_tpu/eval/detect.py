@@ -354,9 +354,11 @@ class Detector:
         ladder = [batch_size]
         while ladder[-1] > 1:
             ladder.append(ladder[-1] // 2)
-        ladder = ladder[::-1]
+        # per-canvas compiled batch sizes: {1, 2, 4, ..., batch_size}
 
         results: dict = {}
+        stats = {"images": len(entries), "misfit_solo": 0, "batches": 0,
+                 "padded_slots": 0}
 
         def emit(idx, res):
             results[idx] = res
@@ -374,19 +376,32 @@ class Detector:
                     (loaded if actual == key else misfits).append(
                         (idx, img))
                 for idx, img in misfits:   # hint was wrong: run solo
+                    stats["misfit_solo"] += 1
                     emit(idx, self.detect(img, mode=mode,
                                           score_thr=score_thr,
                                           pad_divisor=pad_divisor))
-                if not loaded:
-                    continue
-                imgs = [img for _, img in loaded]
-                target = next(s for s in ladder if s >= len(imgs))
-                imgs = imgs + [imgs[-1]] * (target - len(imgs))
-                outs = self.detect_batch(imgs, mode,
-                                         score_thr=score_thr,
-                                         pad_divisor=pad_divisor)
-                for (idx, _), out in zip(loaded, outs):
-                    emit(idx, out)
+                # a partial chunk runs as remainder-ladder sub-batches
+                # (17 -> 16 + 1) instead of padding up with duplicated
+                # images — no wasted forward or host-NMS work, and only
+                # ladder sizes compile (log2(batch_size) per canvas)
+                pos = 0
+                while pos < len(loaded):
+                    size = next(s for s in ladder
+                                if s <= len(loaded) - pos)
+                    part = loaded[pos:pos + size]
+                    pos += size
+                    stats["batches"] += 1
+                    outs = self.detect_batch(
+                        [img for _, img in part], mode,
+                        score_thr=score_thr, pad_divisor=pad_divisor)
+                    for (idx, _), out in zip(part, outs):
+                        emit(idx, out)
+        if stats["misfit_solo"]:
+            import logging
+            logging.getLogger("yunet_tpu").warning(
+                "detect_sweep: %d/%d images had stale size hints and ran "
+                "solo (batch-1)", stats["misfit_solo"], stats["images"])
+        self.last_sweep_stats = stats
         return [results[i] for i in range(len(results))]
 
     def detect_tta(self, img_bgr: np.ndarray,

@@ -180,7 +180,16 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
         step = i + 1
         if step % cfg.train.log_interval == 0 or step == total_steps:
             from .checkpoint import to_host
-            m = jax.tree.map(to_host, m)  # local-shard fetch, collective-free
+            # pack the metric scalars into ONE array before fetching:
+            # per-leaf readbacks each pay a host<->device round trip
+            keys = sorted(m)
+            try:
+                import jax.numpy as jnp
+                packed = to_host(jnp.stack(
+                    [m[k].astype(jnp.float32) for k in keys]))
+                m = dict(zip(keys, packed))
+            except TypeError:   # non-scalar metrics: fetch per leaf
+                m = jax.tree.map(to_host, m)
             loss = float(m["loss"])
             if not np.isfinite(loss):
                 raise FloatingPointError(

@@ -173,6 +173,14 @@ def make_train_step(cfg: Config, model: YuNet, tx, *, img_size: int,
                 batch.pop("aug_x0"), batch.pop("aug_side"),
                 batch.pop("aug_flip"), out_size=img_size,
                 dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32)
+            # the loader wires only the GT slots its shard can fill;
+            # re-pad to the configured static shape here (free on device)
+            need = cfg.data.max_gts - batch["gt_bboxes"].shape[1]
+            if need > 0:
+                for k in ("gt_bboxes", "gt_labels", "gt_kps", "gt_valid"):
+                    pad = [(0, 0), (0, need)] + [(0, 0)] * (
+                        batch[k].ndim - 2)
+                    batch[k] = jnp.pad(batch[k], pad)
         grads, (new_state, metrics) = jax.grad(
             lambda p: loss_fn(model, cfg, p, ts.state, batch, priors,
                               axis_name=axis), has_aux=True)(ts.params)
