@@ -70,13 +70,18 @@ def batch_norm(x: jnp.ndarray, p: Params, s: State, *, train: bool,
     scale, bias = p["scale"], p["bias"]
     if train:
         xf = x.astype(jnp.float32)
-        # single-pass stats: E[x] and E[x^2] reduce the SAME read, so XLA
-        # fuses them into one pass over x — the centered two-pass form
-        # reads every BN input twice per step. f32 accumulation keeps the
-        # E[x^2] - E[x]^2 cancellation benign at activation scales.
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
-        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        # single-pass stats: E[x-c] and E[(x-c)^2] reduce the SAME read,
+        # so XLA fuses them into one pass over x — the centered two-pass
+        # form reads every BN input twice per step. Shifting by the
+        # running mean c (~= batch mean) bounds the E[y^2] - E[y]^2
+        # cancellation: the subtraction operates near zero even for
+        # high-mean low-variance channels (advisor r2 finding #1).
+        shift = jax.lax.stop_gradient(s["mean"].astype(jnp.float32))
+        xc = xf - shift
+        mean_c = jnp.mean(xc, axis=(0, 1, 2))
+        mean_sq = jnp.mean(jnp.square(xc), axis=(0, 1, 2))
+        var = jnp.maximum(mean_sq - jnp.square(mean_c), 0.0)
+        mean = mean_c + shift
         n = x.shape[0] * x.shape[1] * x.shape[2]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {

@@ -221,15 +221,8 @@ def _assemble_streamed(valid_prior, best_gt, cand_idx, topk_iou,
             [gt_bboxes, gt_valid[:, None].astype(jnp.float32)], axis=-1),
         precision=jax.lax.Precision.HIGHEST)
     box, mvalid = row[:, :4], row[:, 4] > 0
-    lt = jnp.maximum(decoded[:, :2], box[:, :2])
-    rb = jnp.minimum(decoded[:, 2:], box[:, 2:])
-    wh = jnp.clip(rb - lt, 0)
-    inter = wh[:, 0] * wh[:, 1]
-    area1 = jnp.clip(decoded[:, 2] - decoded[:, 0], 0) * \
-        jnp.clip(decoded[:, 3] - decoded[:, 1], 0)
-    area2 = jnp.clip(box[:, 2] - box[:, 0], 0) * \
-        jnp.clip(box[:, 3] - box[:, 1], 0)
-    iou = inter / jnp.maximum(area1 + area2 - inter, eps)
+    from .boxes import aligned_iou
+    iou = aligned_iou(decoded, box, eps=eps)
     matched_iou = jnp.where(fg_mask & mvalid, iou, 0.0)
     return AssignResult(fg_mask, matched_gt, matched_iou)
 

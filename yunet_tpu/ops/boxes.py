@@ -43,6 +43,28 @@ def fuse_score(cls_logit: jnp.ndarray, obj_logit: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.sigmoid(cls_logit) * jax.nn.sigmoid(obj_logit)
 
 
+# shared IoU denominator floor: pairwise_iou and aligned_iou must stay in
+# lockstep (the streamed SimOTA tail recomputes matched IoU via
+# aligned_iou; dense SimOTA uses the pairwise matrix)
+IOU_EPS = 1e-6
+
+
+def aligned_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
+                eps: float = IOU_EPS) -> jnp.ndarray:
+    """Element-wise IoU of aligned (..., 4) xyxy box arrays — the
+    is_aligned=True counterpart of pairwise_iou with identical clip/eps
+    conventions (mmcv bbox_overlaps, iou2d_calculator.py)."""
+    lt = jnp.maximum(boxes1[..., :2], boxes2[..., :2])
+    rb = jnp.minimum(boxes1[..., 2:], boxes2[..., 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    area1 = jnp.clip(boxes1[..., 2] - boxes1[..., 0], 0) * \
+        jnp.clip(boxes1[..., 3] - boxes1[..., 1], 0)
+    area2 = jnp.clip(boxes2[..., 2] - boxes2[..., 0], 0) * \
+        jnp.clip(boxes2[..., 3] - boxes2[..., 1], 0)
+    return inter / jnp.maximum(area1 + area2 - inter, eps)
+
+
 def pairwise_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
                  eps: float = 1e-6) -> jnp.ndarray:
     """IoU matrix (N, M) between xyxy boxes (no +1 offset — matches mmcv

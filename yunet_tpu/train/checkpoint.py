@@ -19,10 +19,17 @@ import numpy as np
 
 
 def to_host(x) -> np.ndarray:
-    """Fetch a (replicated) array to host numpy without collectives:
+    """Fetch a replicated array to host numpy without collectives:
     on a multi-process mesh, read this process's first addressable shard
-    (the full value for replicated arrays)."""
+    (the full value for replicated arrays). Refuses genuinely sharded
+    arrays — shard 0 alone would silently be a partial value (e.g. wrong
+    eval APs from a partial param tree)."""
     if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        sharding = getattr(x, "sharding", None)
+        if sharding is not None and not sharding.is_fully_replicated:
+            raise ValueError(
+                "to_host: array is sharded, not replicated — reading "
+                f"shard 0 would drop data (sharding={sharding})")
         x = x.addressable_data(0)
     return np.asarray(x)
 
