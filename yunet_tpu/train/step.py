@@ -78,7 +78,12 @@ def init_train_state(cfg: Config, *, steps_per_epoch: int, total_batch: int,
     state = jax.tree.map(jnp.asarray, state)
     tx = make_optimizer(cfg, steps_per_epoch, total_batch)
     opt_state = tx.init(params)
-    ema = params if cfg.train.ema_momentum > 0 else None
+    # EMA shadow starts equal to params but must be DISTINCT buffers:
+    # ts is donated to the jitted step, and donating the same buffer
+    # through two pytree leaves is an invalid-argument error on some
+    # backends (aliased params/ema_params leaves).
+    ema = (jax.tree.map(jnp.array, params)
+           if cfg.train.ema_momentum > 0 else None)
     return TrainState(params, state, opt_state,
                       jnp.zeros((), jnp.int32), ema), tx
 
