@@ -115,7 +115,7 @@ def main(argv=None):
         eval_hook = make_wider_eval_hook(
             cfg, mode=widerface_eval_mode(args.eval_mode),
             ann=args.eval_ann, img_prefix=args.eval_img_prefix,
-            gt_dir=args.eval_gt_dir, limit=args.eval_limit)
+            gt_dir=args.eval_gt_dir, limit=args.eval_limit, mesh=mesh)
 
     ts = fit(cfg, work_dir=args.work_dir, resume_from=args.resume_from,
              auto_resume=args.auto_resume, load_pth=args.load_pth,

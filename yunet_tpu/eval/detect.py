@@ -117,6 +117,9 @@ class Detector:
         self._raw_cache: Dict[Tuple[int, int], object] = {}
         self._nms_cache: Dict[Tuple[int, int, int], object] = {}
         self._batch_cache: Dict[Tuple[int, int], object] = {}
+        # optional device mesh: detect_batch shards batch rows over it
+        # (data-parallel eval — the multi_gpu_test role)
+        self.mesh = None
 
     # -- jitted programs ----------------------------------------------------
     def _raw_fn(self, h: int, w: int):
@@ -273,7 +276,18 @@ class Detector:
                 "group landscape/portrait images separately for "
                 "non-square modes, or by padded-bucket shape for "
                 "ORIGIN/AUTO")
-        x = jnp.asarray(np.stack(views))
+        x = np.stack(views)
+        if self.mesh is not None and x.shape[0] % self.mesh.size == 0:
+            # data-parallel eval: shard the batch rows over the mesh so
+            # every chip works the sweep (the multi_gpu_test role,
+            # reference mmdet/apis/test.py:179-209); results come back
+            # gathered on host. Sub-mesh-size ladder chunks stay on one
+            # device (uneven row sharding would force a retrace).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            x = jax.device_put(
+                jnp.asarray(x), NamedSharding(self.mesh, P("dp")))
+        else:
+            x = jnp.asarray(x)
         h, w = views[0].shape[:2]
         if (h, w) not in self._batch_cache:
             sizes = self.model.featmap_sizes(h, w)

@@ -44,11 +44,16 @@ def make_wider_eval_hook(cfg: Config, *,
                          gt_dir: Optional[str] = None,
                          pad_divisor: int = 32,
                          limit: int = 0,
-                         use_ema: bool = True):
+                         use_ema: bool = True,
+                         mesh=None):
     """Build an ``(train_state, step) -> {'easy','medium','hard'}`` hook.
 
     limit: evaluate only the first N val images (0 = all) — useful to keep
     in-training eval cheap; the reported APs then cover that subset.
+    mesh: optional jax device mesh — the sweep's batched forwards then
+    shard their rows over all local devices instead of leaving every chip
+    but one idle during in-training eval (the multi_gpu_test role,
+    reference mmdet/apis/test.py:179-209).
     """
     import cv2
 
@@ -59,6 +64,8 @@ def make_wider_eval_hook(cfg: Config, *,
     if limit:
         records = records[:limit]
     det = Detector(cfg)  # params swapped in per call
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        det.mesh = mesh
 
     def hook(ts, step):
         import jax
