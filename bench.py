@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark: detect + train throughput for YuNet-n on one TPU chip.
+"""Benchmark: detect + train throughput for YuNet on one TPU chip.
 
 Baseline: the reference README's headline inference number — 456 FPS for
 YuNet-n at 320x320 through ONNXRuntime on an i7-12700K CPU
@@ -9,17 +9,25 @@ NMS.
 
 Prints ONE JSON line. The HEADLINE value is the MEDIAN batched-serving
 throughput (batch 16, BN-folded trunk + vmapped on-device Pallas NMS in
-one compiled program) — batching is how a TPU serves, and the number is
-stable under tunnel contention. The "extra" field carries the rest of the
-perf story: batch-1 pipelined-dispatch FPS (median/best — swings ~2x with
-tunnel load since every call pays a host round-trip),
-train-step throughput at 640^2 (batch 16/64/128; 128 saturates
-the lane dimension of XLA's batch-minor conv layouts), and a roofline note
-(achieved TFLOP/s and MFU — YuNet is a 75k-param depthwise net, so it is
-HBM-bandwidth-bound, not MXU-bound; MFU is reported for scale, not as the
-optimization target).
+one compiled program) — batching is how a TPU serves. vs_baseline
+divides that by the reference's single-image CPU FPS, so it is a
+throughput-vs-published-FPS ratio ACROSS batch regimes; the
+apples-to-apples single-image comparison is extra.detect_b1_vs_baseline
+(advisor r2 finding #4 — both are reported, labeled).
 
-Env: YUNET_BENCH_FAST=1 skips the train-step section (detect only).
+extra carries the rest of the perf story:
+  detect_b1_*            pipelined batch-1 dispatch (tunnel-sensitive)
+  detect_b128_*          peak offline serving
+  serve_b16_yunet_s      the smaller published variant, same program
+  train_640_b{16,128}_*  fixed-batch train step (device-resident input)
+  train_*_yunet_s        yunet_s train step at b128
+  train_sustained_*      loader-fed end-to-end sustained training:
+                         DeviceAugLoader (HBM-staged dataset, on-device
+                         MXU augmentation) -> device_prefetch -> step,
+                         wall-clock over whole steps — the number that
+                         corresponds to a real training run
+
+Env: YUNET_BENCH_FAST=1 skips the train sections (detect only).
 """
 
 import json
@@ -27,11 +35,13 @@ import os
 import statistics
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_FPS = 456.0  # reference README.md:146 (i7-12700K, ORT, 320x320)
 REF_PTH = "/root/reference/weights/yunet_n.pth"
+REF_PTH_S = "/root/reference/weights/yunet_s.pth"
 V5E_PEAK_BF16_TFLOPS = 197.0
 
 
@@ -64,60 +74,30 @@ def _measure_windows(dispatch, iters, windows, gap=0.5):
     return vals
 
 
-def main():
+def _load(cfg, path):
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from yunet_tpu.config import yunet_n
-    from yunet_tpu.eval.detect import Detector
     from yunet_tpu.models import YuNet
-
-    fast = bool(os.environ.get("YUNET_BENCH_FAST"))
-    cfg = yunet_n()
     model = YuNet(cfg.model)
-    if os.path.exists(REF_PTH):
+    if os.path.exists(path):
         from yunet_tpu.utils import load_pth_params
-        params, state = load_pth_params(REF_PTH)
+        params, state = load_pth_params(
+            path, shared_stacked_convs=cfg.model.shared_stacked_convs)
     else:
         params, state = model.init(jax.random.PRNGKey(0))
+    return model, params, state
 
-    extra = {}
-    rng = np.random.RandomState(0)
 
-    # ---- batch-1 detect @320^2 (the baseline-comparable number) ----------
-    # fused=True: BN-folded trunk with the Pallas pw->dw->relu kernel
-    det = Detector(cfg, params, state, bf16=True, fused=True)
-    fn = det._nms_fn(320, 320, 512)
-    p_d, s_d = det.params, det.state
-    # several distinct inputs, round-robined: guards against any
-    # result-caching of repeated identical executions in the tunnel
-    xs1 = [jnp.asarray(rng.randint(0, 256, (1, 320, 320, 3))
-                       .astype(np.float32)) for _ in range(4)]
-    _sync(fn(p_d, s_d, xs1[0]))                      # compile
-    for _ in range(50):                              # pipeline warmup
-        out = fn(p_d, s_d, xs1[0])
-    _sync(out)
-    it1 = iter(range(10 ** 9))
-    w1 = _measure_windows(
-        lambda: fn(p_d, s_d, xs1[next(it1) % 4]), iters=300, windows=8)
-    extra["detect_b1_imgs_per_s"] = round(statistics.median(w1), 1)
-    extra["detect_b1_windows_imgs_per_s"] = [round(v, 1) for v in w1]
-    extra["detect_b1_best_imgs_per_s"] = round(max(w1), 1)
-    extra["detect_b1_vs_baseline"] = round(
-        statistics.median(w1) / BASELINE_FPS, 3)
-
-    # ---- batched serving @320^2, batch 16: BN-folded trunk through
-    # XLA's conv emitters (use_pallas=False: at batch>=16 XLA's
-    # batch-minor layouts fill the lanes and depthwise runs on the MXU —
-    # 1.9x the Pallas stencil trunk, which wins only at batch 1) +
-    # vmapped on-device NMS, all in ONE compiled program.
+def _serve_fn(cfg, model, det):
+    """Batched serving program: folded trunk + decode + vmapped Pallas
+    NMS in ONE compiled program."""
+    import jax
+    import jax.numpy as jnp
     from yunet_tpu.models.fused import fused_forward
     from yunet_tpu.models.head import flatten_level_outputs
     from yunet_tpu.ops.nms_pallas import pallas_nms
     from yunet_tpu.ops.boxes import bbox_decode, kps_decode
     from yunet_tpu.ops.priors import grid_priors
-    b = 16
+
     sizes = model.featmap_sizes(320, 320)
     priors = jnp.asarray(grid_priors(sizes, cfg.model.strides,
                                      cfg.model.prior_offset))
@@ -141,91 +121,259 @@ def main():
             return dets, keep, kp[idx]
         return jax.vmap(one)(boxes, scores, kps)
 
-    def serve_windows(batch_size, iters, warmup=8, n_inputs=4):
-        """Measure serve_batch at a batch size (jit re-traces per
-        leading dim); distinct round-robined inputs, readback sync."""
-        xs = [jnp.asarray(rng.randint(0, 256, (batch_size, 320, 320, 3))
-                          .astype(np.uint8)) for _ in range(n_inputs)]
-        _sync(serve_batch(xs[0]))
-        for i in range(warmup):
-            o = serve_batch(xs[i % n_inputs])
-        _sync(o)
-        it = iter(range(10 ** 9))
-        w = _measure_windows(
-            lambda: serve_batch(xs[next(it) % n_inputs]),
-            iters=iters, windows=5)
-        return [v * batch_size for v in w]
+    return serve_batch
 
-    wb = serve_windows(b, iters=60)
-    fps_typ = statistics.median(wb)          # the headline
-    extra["detect_b16_best_imgs_per_s"] = round(max(wb), 1)
 
-    # peak offline throughput: same program at batch 128
-    wbb = serve_windows(128, iters=25)
-    extra["detect_b128_imgs_per_s"] = round(statistics.median(wbb), 1)
-    extra["detect_b128_vs_baseline"] = round(
-        statistics.median(wbb) / BASELINE_FPS, 3)
+def _serve_windows(serve_batch, rng, batch_size, iters, warmup=8,
+                   n_inputs=4, windows=5):
+    import jax.numpy as jnp
+    import numpy as np
+    xs = [jnp.asarray(rng.randint(0, 256, (batch_size, 320, 320, 3))
+                      .astype(np.uint8)) for _ in range(n_inputs)]
+    _sync(serve_batch(xs[0]))
+    o = None
+    for i in range(warmup):
+        o = serve_batch(xs[i % n_inputs])
+    _sync(o)
+    it = iter(range(10 ** 9))
+    w = _measure_windows(
+        lambda: serve_batch(xs[next(it) % n_inputs]),
+        iters=iters, windows=windows)
+    return [v * batch_size for v in w]
 
-    # ---- train step @640^2 (batch 16 / 64 / 128) -------------------------------
+
+def _train_batch(rng, tb, g, img=640):
+    import jax.numpy as jnp
+    import numpy as np
+    c = rng.uniform(40, img - 40, (tb, g, 2)).astype(np.float32)
+    wh = rng.uniform(8, 120, (tb, g, 2)).astype(np.float32)
+    kps = np.concatenate(
+        [rng.uniform(20, img - 20, (tb, g, 5, 2)).astype(np.float32),
+         np.ones((tb, g, 5, 1), np.float32)], -1)
+    return {
+        "image": jnp.asarray(rng.randint(
+            0, 256, (tb, img, img, 3)).astype(np.uint8)),
+        "gt_bboxes": jnp.asarray(
+            np.concatenate([c - wh / 2, c + wh / 2], -1)),
+        "gt_labels": jnp.zeros((tb, g), jnp.int32),
+        "gt_kps": jnp.asarray(kps),
+        "gt_valid": jnp.asarray(np.tile(np.arange(g) < 12, (tb, 1))),
+    }
+
+
+def _train_step_rate(cfg, model, tb, batch, n_meas=10, windows=3):
+    from yunet_tpu.train import init_train_state, make_train_step
+    ts, tx = init_train_state(cfg, steps_per_epoch=1000, total_batch=tb)
+    step = make_train_step(cfg, model, tx, img_size=cfg.data.img_size)
+    ts, m = step(ts, batch)
+    float(m["loss"])
+    vals = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(n_meas):
+            ts, m = step(ts, batch)
+        float(m["loss"])                     # true sync
+        vals.append(n_meas / (time.perf_counter() - t0))
+        time.sleep(0.3)
+    return statistics.median(vals)
+
+
+def _sustained_rate(cfg_n, steps=40, warm=8):
+    """Loader-fed end-to-end training rate: DeviceAugLoader + prefetch +
+    step, wall clock over the last (steps-warm) steps."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.data.dataset import SampleSpec
+    from yunet_tpu.data.device_aug import DeviceAugLoader
+    from yunet_tpu.data.loader import device_prefetch
+    from yunet_tpu.models import YuNet
+    from yunet_tpu.train import init_train_state, make_train_step
+
+    root = os.environ.get("YUNET_SYNTH_ROOT", "data/synth_wider")
+    ann = os.path.join(root, "train", "labelv2.txt")
+    prefix = os.path.join(root, "train", "images")
+    if not os.path.exists(ann):
+        # generate a smaller stand-in set on the fly
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import make_synth_wider as gen
+        root = "/tmp/bench_synth"
+        gen.main(["--out", root, "--train-n", "256", "--val-n", "2"])
+        ann = os.path.join(root, "train", "labelv2.txt")
+        prefix = os.path.join(root, "train", "images")
+
+    tb = 128
+    cfg = dataclasses.replace(
+        yunet_n(), data=dataclasses.replace(
+            yunet_n().data, img_size=640, max_gts=128, device_aug=True))
+    spec = SampleSpec(img_size=640, max_gts=128)
+    loader = DeviceAugLoader(ann, prefix, batch_size=tb, spec=spec)
+    try:
+        bank = loader.bank.to_device()
+        jax.block_until_ready(bank)
+        model = YuNet(cfg.model)
+        ts, tx = init_train_state(cfg, steps_per_epoch=1000,
+                                  total_batch=tb)
+        step = make_train_step(cfg, model, tx, img_size=640)
+        it = device_prefetch(iter(loader))
+        t0 = None
+        for i in range(steps):
+            batch = next(it)
+            batch.pop("num_overflow", None)
+            batch["bank"] = bank
+            ts, m = step(ts, batch)
+            if i == warm - 1:
+                float(m["loss"])             # drain pipeline, then time
+                t0 = time.perf_counter()
+        loss = float(m["loss"])              # final sync
+        dt = time.perf_counter() - t0
+        assert np.isfinite(loss)
+        return (steps - warm) * tb / dt
+    finally:
+        loader.close()
+
+
+def main():
+    import jax  # noqa: F401
+    import numpy as np
+
+    from yunet_tpu.config import yunet_n, yunet_s
+    from yunet_tpu.eval.detect import Detector
+
+    fast = bool(os.environ.get("YUNET_BENCH_FAST"))
+    cfg = yunet_n()
+    model, params, state = _load(cfg, REF_PTH)
+
+    extra = {}
+    errors = {}
+    rng = np.random.RandomState(0)
+
+    # ---- batch-1 detect @320^2 (the baseline-comparable number) ----------
+    det = Detector(cfg, params, state, bf16=True, fused=True)
+    try:
+        import jax.numpy as jnp
+        fn = det._nms_fn(320, 320, 512)
+        p_d, s_d = det.params, det.state
+        xs1 = [jnp.asarray(rng.randint(0, 256, (1, 320, 320, 3))
+                           .astype(np.float32)) for _ in range(4)]
+        _sync(fn(p_d, s_d, xs1[0]))                      # compile
+        out = None
+        for _ in range(50):                              # pipeline warmup
+            out = fn(p_d, s_d, xs1[0])
+        _sync(out)
+        it1 = iter(range(10 ** 9))
+        w1 = _measure_windows(
+            lambda: fn(p_d, s_d, xs1[next(it1) % 4]), iters=300, windows=8)
+        extra["detect_b1_imgs_per_s"] = round(statistics.median(w1), 1)
+        extra["detect_b1_windows_imgs_per_s"] = [round(v, 1) for v in w1]
+        extra["detect_b1_best_imgs_per_s"] = round(max(w1), 1)
+        # the apples-to-apples single-image ratio vs the 456-FPS baseline
+        extra["detect_b1_vs_baseline"] = round(
+            statistics.median(w1) / BASELINE_FPS, 3)
+        # latency budget: median per-segment breakdown of the end-to-end
+        # detect() call (advisor/VERDICT r2: explain the b1 window spread
+        # quantitatively). device_readback bounds device exec + readback
+        # together — an async transport cannot split them host-side.
+        img1 = rng.randint(0, 256, (300, 280, 3)).astype(np.uint8)
+        det.detect(img1, mode=(320, 320), use_device_nms=True)  # compile
+        segs = {}
+        for _ in range(30):
+            tm = {}
+            det.detect(img1, mode=(320, 320), use_device_nms=True,
+                       timings=tm)
+            for k, v in tm.items():
+                segs.setdefault(k, []).append(v)
+        extra["detect_b1_budget_ms"] = {
+            k: round(statistics.median(v) * 1e3, 2)
+            for k, v in segs.items()}
+    except Exception:
+        errors["detect_b1"] = traceback.format_exc(limit=2)
+
+    # ---- batched serving @320^2 ------------------------------------------
+    fps_typ = 0.0
+    try:
+        serve_batch = _serve_fn(cfg, model, det)
+        wb = _serve_windows(serve_batch, rng, 16, iters=60)
+        fps_typ = statistics.median(wb)          # the headline
+        extra["detect_b16_best_imgs_per_s"] = round(max(wb), 1)
+        wbb = _serve_windows(serve_batch, rng, 128, iters=25)
+        extra["detect_b128_imgs_per_s"] = round(statistics.median(wbb), 1)
+        extra["detect_b128_vs_baseline"] = round(
+            statistics.median(wbb) / BASELINE_FPS, 3)
+    except Exception:
+        errors["serve"] = traceback.format_exc(limit=2)
+
+    # ---- yunet_s serving (the smaller published variant) -----------------
+    try:
+        cfg_s = yunet_s()
+        model_s, params_s, state_s = _load(cfg_s, REF_PTH_S)
+        det_s = Detector(cfg_s, params_s, state_s, bf16=True, fused=True)
+        serve_s = _serve_fn(cfg_s, model_s, det_s)
+        ws = _serve_windows(serve_s, rng, 16, iters=60, windows=3)
+        extra["serve_b16_yunet_s_imgs_per_s"] = round(
+            statistics.median(ws), 1)
+    except Exception:
+        errors["serve_yunet_s"] = traceback.format_exc(limit=2)
+
+    # ---- train step @640^2 -----------------------------------------------
     if not fast:
         import dataclasses
-        from yunet_tpu.train import init_train_state, make_train_step
         from yunet_tpu.utils.flops import count_macs
 
-        for tb in (16, 64, 128):
-            tcfg = dataclasses.replace(
-                cfg, data=dataclasses.replace(cfg.data, img_size=640,
-                                              max_gts=128))
-            ts, tx = init_train_state(tcfg, steps_per_epoch=1000,
-                                      total_batch=tb)
-            step = make_train_step(tcfg, model, tx, img_size=640)
-            g = tcfg.data.max_gts
-            c = rng.uniform(40, 600, (tb, g, 2)).astype(np.float32)
-            wh = rng.uniform(8, 120, (tb, g, 2)).astype(np.float32)
-            kps = np.concatenate(
-                [rng.uniform(20, 620, (tb, g, 5, 2)).astype(np.float32),
-                 np.ones((tb, g, 5, 1), np.float32)], -1)
-            # uint8 images: the loader's device-feed contract (cast to
-            # bf16 on device; 4x less host->device traffic)
-            batch = {
-                "image": jnp.asarray(rng.randint(
-                    0, 256, (tb, 640, 640, 3)).astype(np.uint8)),
-                "gt_bboxes": jnp.asarray(
-                    np.concatenate([c - wh / 2, c + wh / 2], -1)),
-                "gt_labels": jnp.zeros((tb, g), jnp.int32),
-                "gt_kps": jnp.asarray(kps),
-                "gt_valid": jnp.asarray(
-                    np.tile(np.arange(g) < 12, (tb, 1))),
-            }
-            ts, m = step(ts, batch)                  # compile
-            float(m["loss"])
-            n_meas = 10
-            vals = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(n_meas):
-                    ts, m = step(ts, batch)
-                float(m["loss"])                     # true sync
-                vals.append(n_meas / (time.perf_counter() - t0))
-                time.sleep(0.3)
-            sps = statistics.median(vals)
-            extra[f"train_640_b{tb}_imgs_per_s"] = round(sps * tb, 1)
-            if tb == 128:
-                # fwd + bwd ~= 3x fwd MACs; 2 FLOPs per MAC
-                macs = count_macs(cfg.model, (640, 640))
-                tflops = sps * tb * macs * 3 * 2 / 1e12
-                extra["train_b128_achieved_tflops"] = round(tflops, 3)
-                extra["train_b128_mfu_pct"] = round(
-                    100 * tflops / V5E_PEAK_BF16_TFLOPS, 3)
-                extra["roofline_note"] = (
-                    "75k-param depthwise net: HBM-bandwidth-bound on a "
-                    "v5e (197 bf16 TFLOP/s peak); low MFU is structural, "
-                    "throughput is the target metric")
+        tcfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, img_size=640,
+                                          max_gts=128))
+        for tb in (16, 128):
+            try:
+                batch = _train_batch(rng, tb, 128)
+                sps = _train_step_rate(tcfg, model, tb, batch)
+                extra[f"train_640_b{tb}_imgs_per_s"] = round(sps * tb, 1)
+                if tb == 128:
+                    # fwd + bwd ~= 3x fwd MACs; 2 FLOPs per MAC
+                    macs = count_macs(cfg.model, (640, 640))
+                    tflops = sps * tb * macs * 3 * 2 / 1e12
+                    extra["train_b128_achieved_tflops"] = round(tflops, 3)
+                    extra["train_b128_mfu_pct"] = round(
+                        100 * tflops / V5E_PEAK_BF16_TFLOPS, 3)
+            except Exception:
+                errors[f"train_b{tb}"] = traceback.format_exc(limit=2)
+
+        # yunet_s train step at the throughput batch
+        try:
+            tcfg_s = dataclasses.replace(
+                yunet_s(), data=dataclasses.replace(
+                    yunet_s().data, img_size=640, max_gts=128))
+            batch = _train_batch(rng, 128, 128)
+            sps = _train_step_rate(tcfg_s, model_s, 128, batch)
+            extra["train_640_b128_yunet_s_imgs_per_s"] = round(
+                sps * 128, 1)
+        except Exception:
+            errors["train_yunet_s"] = traceback.format_exc(limit=2)
+
+        # loader-fed sustained training (the dress-rehearsal number)
+        try:
+            rate = _sustained_rate(cfg)
+            extra["train_sustained_imgs_per_s"] = round(rate, 1)
+            ref = extra.get("train_640_b128_imgs_per_s")
+            if ref:
+                extra["train_sustained_frac_of_step_bench"] = round(
+                    rate / ref, 3)
+        except Exception:
+            errors["train_sustained"] = traceback.format_exc(limit=2)
+
+    if errors:
+        extra["errors"] = {k: v.splitlines()[-1] for k, v in errors.items()}
+        for k, v in errors.items():
+            sys.stderr.write(f"[bench section {k} failed]\n{v}\n")
 
     print(json.dumps({
         "metric": "serve_fps_320x320_b16_yunet_n",
         "value": round(fps_typ, 2),
         "unit": "img/s",
+        # throughput-vs-published-FPS across batch regimes; see
+        # extra.detect_b1_vs_baseline for the single-image ratio
         "vs_baseline": round(fps_typ / BASELINE_FPS, 3),
         "extra": extra,
     }))

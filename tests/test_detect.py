@@ -281,6 +281,17 @@ def test_detect_sweep_ladder_and_misfit(yunet_n_pth):
     assert det.last_sweep_stats["padded_slots"] == 0
 
 
+def test_detect_timings_budget(yunet_n_pth):
+    """detect(timings=...) fills the per-call latency budget segments."""
+    det = init_detector("yunet_n", yunet_n_pth)
+    img = _img(60, 100, seed=3)
+    tm = {}
+    det.detect(img, mode=(96, 64), score_thr=0.01, timings=tm)
+    assert {"preproc", "put", "dispatch",
+            "device_readback", "post"} <= set(tm)
+    assert all(v >= 0 for v in tm.values())
+
+
 def test_detect_sweep_mesh_sharded_matches_single(yunet_n_pth):
     """Sharded in-training eval (VERDICT r2 missing #5): detect_sweep
     with Detector.mesh set spreads batch rows over all 8 devices and

@@ -15,6 +15,7 @@ preprocessing (tools/detect_image.py:99-132):
 
 from __future__ import annotations
 
+import time
 from typing import Dict, Optional, Tuple, Union
 
 import jax
@@ -179,27 +180,49 @@ class Detector:
                score_thr: Optional[float] = None,
                use_device_nms: bool = False,
                max_dets: Optional[int] = None,
-               pad_divisor: int = 32) -> Dict[str, np.ndarray]:
+               pad_divisor: int = 32,
+               timings: Optional[dict] = None) -> Dict[str, np.ndarray]:
         """Detect faces in one BGR uint8/float image.
 
         Returns dict: bboxes (n,5) [x1 y1 x2 y2 score] in original image
         coords (score-desc), kps (n, 2K), labels (n,).
+
+        timings: pass a dict to receive the per-call latency budget in
+        seconds — {preproc, put, dispatch, device_readback, post}. The
+        device execution and result readback are one segment: through an
+        async transport only the host-side materialization bounds them.
         """
+        t = time.perf_counter if timings is not None else None
+        if t:
+            t0 = t()
         score_thr = (self.cfg.test.score_thr if score_thr is None
                      else score_thr)
         det_img, det_scale = resize_img(img_bgr, mode, pad_divisor)
+        if t:
+            t1 = t()
+            timings["preproc"] = t1 - t0
         if self.bf16 and det_img.dtype == np.uint8:
             # ship uint8: 4x less host->device traffic, cast on device
             x = jnp.asarray(det_img[None])
         else:
             x = jnp.asarray(det_img[None].astype(np.float32))
+        if t:
+            t2 = t()
+            timings["put"] = t2 - t1
         h, w = det_img.shape[:2]
 
         if use_device_nms:
             top_k = max_dets or self.cfg.test.device_nms_pre
             fn = self._nms_fn(h, w, top_k)
-            dets, keep, kps_sorted = fn(self.params, self.state, x)
+            out = fn(self.params, self.state, x)
+            if t:
+                t3 = t()
+                timings["dispatch"] = t3 - t2
+            dets, keep, kps_sorted = out
             dets, keep = np.asarray(dets), np.asarray(keep)
+            if t:
+                t4 = t()
+                timings["device_readback"] = t4 - t3
             sel = dets[keep]
             kps_sel = np.asarray(kps_sorted)[keep]
             # the compiled program bakes in cfg.test.score_thr; a HIGHER
@@ -214,11 +237,17 @@ class Detector:
                     f"cfg.test.score_thr={self.cfg.test.score_thr}; "
                     "rebuild the Detector with a lower config threshold")
         else:
-            scores, boxes, kps = self._raw_fn(h, w)(
-                self.params, self.state, x)
+            out = self._raw_fn(h, w)(self.params, self.state, x)
+            if t:
+                t3 = t()
+                timings["dispatch"] = t3 - t2
+            scores, boxes, kps = out
             scores = np.asarray(scores)
             boxes = np.asarray(boxes)
             kps = np.asarray(kps)
+            if t:
+                t4 = t()
+                timings["device_readback"] = t4 - t3
             valid = scores >= score_thr
             boxes_v, scores_v, kps_v = (boxes[valid], scores[valid],
                                         kps[valid])
@@ -234,6 +263,8 @@ class Detector:
             sel = sel.copy()
             sel[:, :4] /= det_scale
             kps_sel = kps_sel / det_scale
+        if t:
+            timings["post"] = t() - t4
         return {
             "bboxes": sel.astype(np.float32),
             "kps": kps_sel.astype(np.float32),
