@@ -239,6 +239,9 @@ def main():
     import jax  # noqa: F401
     import numpy as np
 
+    from yunet_tpu.utils.env import enable_compilation_cache
+    enable_compilation_cache()
+
     from yunet_tpu.config import yunet_n, yunet_s
     from yunet_tpu.eval.detect import Detector
 

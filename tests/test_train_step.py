@@ -82,6 +82,21 @@ def test_spmd_matches_single_device():
                                    rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize("bf16", [False, True])
+def test_train_step_both_precisions(bf16):
+    """The f32 escape hatch (train.bf16=false — the reference's fp32
+    default, mmdet/apis/train.py:182-189) and the bf16 default both step
+    to a finite loss on the same batch."""
+    cfg = yunet_n()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, bf16=bf16))
+    model = YuNet(cfg.model)
+    ts, tx = init_train_state(cfg, steps_per_epoch=10, total_batch=2)
+    step = make_train_step(cfg, model, tx, img_size=96)
+    ts, m = step(ts, _batch(2, 96))
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_lr_schedule_reference_recipe():
     # lr 0.01, warmup 1500 iters ratio 1e-3, decay x0.1 at epochs 400/544
     sched = lr_schedule(0.01, steps_per_epoch=100, warmup_iters=1500,

@@ -57,3 +57,22 @@ def setup_multi_processes(workers: int = 4) -> None:
         cv2.setNumThreads(0)
     except ImportError:
         pass
+    enable_compilation_cache()
+
+
+def enable_compilation_cache(path: str = None) -> None:
+    """Persistent XLA compilation cache: the b128/640^2 fused train step
+    compiles for minutes; the on-disk cache turns restarts (auto-resume,
+    A/B sweeps, bench) into cache hits. Opt out with
+    YUNET_NO_COMPILE_CACHE=1."""
+    if os.environ.get("YUNET_NO_COMPILE_CACHE"):
+        return
+    import jax
+    path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # older jax or backend without cache support
