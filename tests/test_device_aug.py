@@ -228,6 +228,106 @@ def test_device_aug_loader_and_train_step(synth_tree):
         loader.close()
 
 
+def test_sharded_bank_mode(synth_tree):
+    """device_shards: batch slots sample shard-locally, the sharded
+    8-device train step runs, and every row's resampled image provably
+    comes from that device's own bank slice."""
+    import jax.numpy as jnp
+
+    from yunet_tpu.data.dataset import SampleSpec
+    from yunet_tpu.data.device_aug import (DeviceAugLoader,
+                                           device_resample)
+
+    img = 96
+    spec = SampleSpec(img_size=img, max_gts=16)
+    loader = DeviceAugLoader(
+        str(synth_tree / "train" / "labelv2.txt"),
+        str(synth_tree / "train" / "images"),
+        batch_size=8, spec=spec, bank_size=img, bank_canvas=192,
+        device_shards=2)
+    try:
+        assert loader.shard_len == 5          # 10 fixture imgs / 2 shards
+        batch = next(iter(loader))
+        # slots 0-3 sample sub-shard 0, 4-7 sub-shard 1; indices local
+        assert batch["aug_idx"].max() < loader.shard_len
+
+        # shard-locality proof: overwrite the bank with per-shard
+        # constant colors and check each output row's color
+        n = len(loader.bank)
+        marked = np.zeros_like(loader.bank.images)
+        half = n // 2
+        marked[:half] = 50
+        marked[half:] = 200
+        out = device_resample(
+            jnp.asarray(marked),
+            jnp.asarray(batch["aug_idx"] +
+                        np.repeat([0, half], 4).astype(np.int32)),
+            jnp.asarray(np.zeros(8, np.float32)),
+            jnp.asarray(np.zeros(8, np.float32)),
+            jnp.asarray(np.full(8, 64.0, np.float32)),
+            jnp.asarray(np.zeros(8, bool)), out_size=16)
+        got = np.asarray(out).mean(axis=(1, 2, 3))
+        assert np.all(got[:4] < 128) and np.all(got[4:] > 128)
+
+        # fewer images than shards must be rejected
+        with pytest.raises(ValueError):
+            DeviceAugLoader(
+                str(synth_tree / "train" / "labelv2.txt"),
+                str(synth_tree / "train" / "images"),
+                batch_size=16, spec=spec, bank_size=img, bank_canvas=192,
+                device_shards=16)
+    finally:
+        loader.close()
+
+
+def test_sharded_bank_spmd_step(tmp_path_factory):
+    """8-way sharded bank through the SPMD train step (bank P('dp'))."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import make_synth_wider as gen
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.data.dataset import SampleSpec
+    from yunet_tpu.data.device_aug import DeviceAugLoader
+    from yunet_tpu.models import YuNet
+    from yunet_tpu.train import init_train_state, make_train_step
+
+    root = tmp_path_factory.mktemp("synth16")
+    gen.main(["--out", str(root), "--train-n", "16", "--val-n", "2"])
+
+    img = 96
+    cfg = dataclasses.replace(
+        yunet_n(),
+        data=dataclasses.replace(yunet_n().data, img_size=img, max_gts=16,
+                                 device_aug=True, bank_size=img,
+                                 bank_canvas=192, bank_sharded=True),
+        train=dataclasses.replace(yunet_n().train, bf16=False))
+    spec = SampleSpec(img_size=img, max_gts=16)
+    loader = DeviceAugLoader(
+        str(root / "train" / "labelv2.txt"),
+        str(root / "train" / "images"),
+        batch_size=8, spec=spec, bank_size=img, bank_canvas=192,
+        device_shards=8)
+    try:
+        assert loader.shard_len == 2
+        batch = next(iter(loader))
+        mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+        bank = loader.bank.to_device(NamedSharding(mesh, P("dp")))
+        model = YuNet(cfg.model)
+        ts, tx = init_train_state(cfg, steps_per_epoch=10, total_batch=8)
+        step = make_train_step(cfg, model, tx, img_size=img, mesh=mesh)
+        shard = NamedSharding(mesh, P("dp"))
+        b = {k: jax.device_put(v, shard) for k, v in batch.items()
+             if k != "num_overflow"}
+        b["bank"] = bank
+        ts, m = step(ts, b)
+        assert np.isfinite(float(m["loss"]))
+    finally:
+        loader.close()
+
+
 def test_device_aug_loader_resume(synth_tree):
     """start_step resumes the epoch/step stream exactly (the TrainLoader
     resume contract, data/loader.py:99-109)."""

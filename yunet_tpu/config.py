@@ -105,6 +105,9 @@ class DataConfig:
     device_aug: bool = False
     bank_size: int = 640       # staged short-side resolution
     bank_canvas: int = 1152    # square canvas (>= 1.5 * bank_size + slack)
+    # shard the staged bank over the 'dp' mesh axis (each chip holds and
+    # samples only its slice — for datasets too large to replicate)
+    bank_sharded: bool = False
 
 
 @dataclass(frozen=True)

@@ -79,7 +79,8 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
                 process_count=jax.process_count(),
                 start_step=resume_step,
                 bank_size=cfg.data.bank_size,
-                bank_canvas=cfg.data.bank_canvas)
+                bank_canvas=cfg.data.bank_canvas,
+                device_shards=(n_local if cfg.data.bank_sharded else 1))
         else:
             loader = TrainLoader(
                 cfg.data.train_ann, cfg.data.train_img_prefix,
@@ -136,7 +137,8 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
         repl = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            repl = NamedSharding(mesh, P())
+            repl = NamedSharding(
+                mesh, P("dp") if cfg.data.bank_sharded else P())
         t_stage = time.time()
         bank_dev = loader.bank.to_device(repl)
         jax.block_until_ready(bank_dev)

@@ -218,9 +218,11 @@ def make_train_step(cfg: Config, model: YuNet, tx, *, img_size: int,
     data_spec = {"gt_bboxes": batch_spec, "gt_labels": batch_spec,
                  "gt_kps": batch_spec, "gt_valid": batch_spec}
     if cfg.data.device_aug:
-        # bank replicated (each chip holds the staged dataset); geometry
-        # scalars are batch-sharded like the GTs
-        data_spec["bank"] = replicated
+        # bank: replicated (every chip holds the staged dataset) or
+        # sharded over 'dp' (each chip holds + samples its own slice;
+        # aug_idx is then shard-local — data/device_aug.py)
+        data_spec["bank"] = (batch_spec if cfg.data.bank_sharded
+                             else replicated)
         for k in ("aug_idx", "aug_y0", "aug_x0", "aug_side", "aug_flip"):
             data_spec[k] = batch_spec
     else:
