@@ -328,6 +328,26 @@ def test_sharded_bank_spmd_step(tmp_path_factory):
         loader.close()
 
 
+def test_loader_seed_beyond_step_4294(synth_tree):
+    """Per-sample seeds must stay inside numpy's 2^32 bound at high
+    global steps (regression: the 1000003*step stride overflowed and
+    crashed a 9472-step run at ~step 4300)."""
+    from yunet_tpu.data.dataset import SampleSpec
+    from yunet_tpu.data.device_aug import DeviceAugLoader
+
+    spec = SampleSpec(img_size=96, max_gts=16)
+    ld = DeviceAugLoader(
+        str(synth_tree / "train" / "labelv2.txt"),
+        str(synth_tree / "train" / "images"),
+        batch_size=4, spec=spec, bank_size=96, bank_canvas=192,
+        start_step=6000)
+    try:
+        b = next(iter(ld))
+        assert b["gt_valid"].any()
+    finally:
+        ld.close()
+
+
 def test_device_aug_loader_resume(synth_tree):
     """start_step resumes the epoch/step stream exactly (the TrainLoader
     resume contract, data/loader.py:99-109)."""

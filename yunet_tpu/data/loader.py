@@ -113,8 +113,11 @@ class TrainLoader:
                 # augmentation streams; single-process streams are
                 # unchanged (offset 0)
                 off = self.process_index * self.batch_size
+                # mod 2^32: numpy seeds are bounded and the stride
+                # overflows past step ~4294
                 seeds = [(int(i),
-                          self.seed + 1000003 * step_global + off + j)
+                          (self.seed + 1000003 * step_global + off + j)
+                          % (2 ** 32))
                          for j, i in enumerate(batch_idx)]
                 if self._pool is not None:
                     samples = self._pool.map(_worker_sample, seeds)
