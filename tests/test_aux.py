@@ -44,6 +44,20 @@ def test_config_overrides():
         apply_overrides(cfg, ["nope.x=1"])
 
 
+def test_config_override_bools():
+    """CLI-style lowercase booleans must become real bools — the truthy
+    string 'false' silently left train.bf16 on (found when the f32 A/B
+    run duplicated the bf16 run bit-for-bit)."""
+    cfg = apply_overrides(yunet_n(), ["train.bf16=false",
+                                      "train.auto_scale_lr=true",
+                                      "data.device_aug=True"])
+    assert cfg.train.bf16 is False
+    assert cfg.train.auto_scale_lr is True
+    assert cfg.data.device_aug is True
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["train.bf16=nope"])
+
+
 def test_macs_match_reference_table():
     # README.md:146-147 — 149 / 96 MFLOPs @320 (mmcv counter, ~1.5% slack)
     assert count_macs(yunet_n().model) / 1e6 == pytest.approx(149, rel=0.02)

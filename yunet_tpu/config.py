@@ -203,6 +203,16 @@ def _retarget_data_root(cfg: Config, root: str) -> Config:
 
 
 def _coerce(value: str) -> Any:
+    # lowercase true/false/none are what users actually type on a CLI;
+    # ast.literal_eval only accepts the Python spellings, and the
+    # fall-through returned the truthy STRING "false" (silently leaving
+    # e.g. train.bf16 enabled — found by the f32 A/B run duplicating the
+    # bf16 run bit-for-bit)
+    low = value.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("none", "null"):
+        return None
     try:
         return ast.literal_eval(value)
     except (ValueError, SyntaxError):
@@ -228,6 +238,10 @@ def _replace_path(node: Any, parts: Sequence[str], value: Any) -> Any:
         current = getattr(node, head)
         if isinstance(current, tuple) and isinstance(value, list):
             value = tuple(value)
+        if isinstance(current, bool) and not isinstance(value, bool):
+            raise ValueError(
+                f"config field '{head}' is a bool; got {value!r} "
+                "(use true/false)")
         return dataclasses.replace(node, **{head: value})
     child = _replace_path(getattr(node, head), parts[1:], value)
     return dataclasses.replace(node, **{head: child})
