@@ -107,6 +107,33 @@ def main(argv=None):
             hlo):
         inst_comp[mm.group(1)] = mm.group(2)
 
+    # instruction -> output bytes (from the HLO result shape), for an
+    # implied-bandwidth column: out_bytes/time is a LOWER bound on the
+    # op's HBM traffic rate (inputs not counted)
+    _dt_bytes = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "f16": 2,
+                 "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8,
+                 "f64": 8, "s16": 2, "u16": 2}
+    inst_bytes = {}
+    for mm in re.finditer(
+            r"%?([\w\.\-]+)\s*=\s*(?:\(([^)]*)\)|(\w+)\[([\d,]*)\])",
+            hlo):
+        name = mm.group(1)
+        total = 0
+        if mm.group(2) is not None:       # tuple result
+            for part in re.finditer(r"(\w+)\[([\d,]*)\]", mm.group(2)):
+                n = 1
+                for d in part.group(2).split(","):
+                    if d:
+                        n *= int(d)
+                total += n * _dt_bytes.get(part.group(1), 4)
+        else:
+            n = 1
+            for d in (mm.group(4) or "").split(","):
+                if d:
+                    n *= int(d)
+            total = n * _dt_bytes.get(mm.group(3), 4)
+        inst_bytes[name] = max(inst_bytes.get(name, 0), total)
+
     def categorize(name):
         comp = inst_comp.get(name)
         ops = comp_ops.get(comp, set()) if comp else set()
@@ -171,10 +198,23 @@ def main(argv=None):
     print("\nby category:")
     for cat, us in cats.most_common():
         print(f"{us / args.steps / 1e3:9.3f} ms/step  {cat}")
+    # implied HBM bandwidth: sum of output bytes per step over device
+    # time (a LOWER bound on traffic — inputs are not counted; real
+    # traffic is typically 2-3x this)
+    total_out_bytes = sum(
+        inst_bytes.get(n, 0) * (c // args.steps) for n, c in cnt.items())
+    secs = total_us / args.steps / 1e6
+    print(f"output-bytes lower bound: {total_out_bytes / 1e9:.1f} GB/step "
+          f"-> >= {total_out_bytes / 1e9 / secs:.0f} GB/s achieved "
+          f"(v5e HBM peak ~819 GB/s)")
+
     print("\ntop ops:")
     for name, us in tot.most_common(args.top):
+        ob = inst_bytes.get(name, 0)
+        bw = ob / (us / args.steps / 1e6) / 1e9 if us else 0.0
         print(f"{us / args.steps / 1e3:9.3f} ms/step  x{cnt[name] // args.steps:<4d}"
-              f" [{categorize(name)}] {name[:90]}")
+              f" {ob / 1e6:8.1f} MB out {bw:6.0f} GB/s"
+              f" [{categorize(name)}] {name[:70]}")
 
 
 if __name__ == "__main__":
