@@ -328,6 +328,30 @@ def test_sharded_bank_spmd_step(tmp_path_factory):
         loader.close()
 
 
+def test_multiprocess_bank_shards_are_uniform(synth_tree):
+    """process_count > 1: per-host banks must be globally uniform in
+    size (the P('dp') bank layout requires it), and the two hosts'
+    record shards must be disjoint."""
+    from yunet_tpu.data.dataset import SampleSpec
+    from yunet_tpu.data.device_aug import DeviceAugLoader
+
+    spec = SampleSpec(img_size=96, max_gts=16)
+    kw = dict(batch_size=4, spec=spec, bank_size=96, bank_canvas=192,
+              process_count=2)
+    ann = str(synth_tree / "train" / "labelv2.txt")
+    pre = str(synth_tree / "train" / "images")
+    a = DeviceAugLoader(ann, pre, process_index=0, **kw)
+    b = DeviceAugLoader(ann, pre, process_index=1, **kw)
+    try:
+        assert len(a.bank) == len(b.bank) == 5   # 10 imgs / 2 hosts
+        fa = {r.filename for r in a.bank.records}
+        fb = {r.filename for r in b.bank.records}
+        assert not (fa & fb)
+    finally:
+        a.close()
+        b.close()
+
+
 def test_loader_seed_beyond_step_4294(synth_tree):
     """Per-sample seeds must stay inside numpy's 2^32 bound at high
     global steps (regression: the 1000003*step stride overflowed and

@@ -70,6 +70,12 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
                           flip_ratio=cfg.data.flip_ratio)
         if cfg.data.device_aug:
             from ..data.device_aug import DeviceAugLoader
+            if jax.process_count() > 1 and not cfg.data.bank_sharded:
+                raise ValueError(
+                    "multi-process device_aug requires "
+                    "data.bank_sharded=true: each host stages only its "
+                    "own record shard, so a replicated bank would hold "
+                    "different images per host (undefined SPMD inputs)")
             loader = DeviceAugLoader(
                 cfg.data.train_ann, cfg.data.train_img_prefix,
                 batch_size=cfg.data.samples_per_device * n_local,
