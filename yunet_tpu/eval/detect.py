@@ -169,7 +169,14 @@ class Detector:
                 boxes, scores, top_k=top_k,
                 iou_thr=self.cfg.test.nms_iou_thr,
                 score_thr=self.cfg.test.score_thr)
-            return dets, keep, kps[idx]
+            # pack all three results into ONE buffer: each host
+            # materialization pays a device round trip, and the b1
+            # latency budget showed the extra readbacks dominating the
+            # call (bench detect_b1_budget_ms)
+            packed = jnp.concatenate(
+                [dets, keep[:, None].astype(dets.dtype), kps[idx]],
+                axis=-1)
+            return packed
 
         self._nms_cache[key] = fn
         return fn
@@ -218,13 +225,14 @@ class Detector:
             if t:
                 t3 = t()
                 timings["dispatch"] = t3 - t2
-            dets, keep, kps_sorted = out
-            dets, keep = np.asarray(dets), np.asarray(keep)
+            packed = np.asarray(out)          # ONE readback
             if t:
                 t4 = t()
                 timings["device_readback"] = t4 - t3
+            dets = packed[:, :5]
+            keep = packed[:, 5] > 0.5
             sel = dets[keep]
-            kps_sel = np.asarray(kps_sorted)[keep]
+            kps_sel = packed[:, 6:][keep]
             # the compiled program bakes in cfg.test.score_thr; a HIGHER
             # per-call threshold is exact as a post-NMS filter (below-thr
             # boxes can only suppress other below-thr boxes)
