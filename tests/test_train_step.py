@@ -145,3 +145,75 @@ def test_bn_stats_update_in_train():
     ts2, _ = step(ts, _batch(2, 96))
     after = np.asarray(ts2.state["backbone"]["model0"]["bn1"]["mean"])
     assert not np.allclose(before, after)
+
+
+def test_bn_covered_bias_grads_are_analytically_zero(monkeypatch):
+    """Biases of convs feeding train-mode BN directly have dL/db == 0, so
+    the step skips their gradient reduce passes via stop_gradient
+    (models/layers.py:_bn_covered_bias). Validate both halves: (a) with
+    the optimization the returned bias grads are exactly zero and every
+    other leaf matches plain autodiff; (b) plain autodiff itself confirms
+    those bias grads are ~0 (the analytic claim)."""
+    from yunet_tpu.models import layers
+    from yunet_tpu.train.step import loss_fn
+    from yunet_tpu.ops.priors import grid_priors
+
+    cfg = _small_cfg()
+    model = YuNet(cfg.model)
+    ts, _ = init_train_state(cfg, steps_per_epoch=10, total_batch=2)
+    batch = _batch(2, 96)
+    sizes = [(96 // s, 96 // s) for s in cfg.model.strides]
+    priors = jnp.asarray(grid_priors(sizes, cfg.model.strides,
+                                     cfg.model.prior_offset))
+
+    def grads_of(params):
+        return jax.grad(lambda p: loss_fn(model, cfg, p, ts.state, batch,
+                                          priors)[0])(params)
+
+    g_opt = grads_of(ts.params)
+    monkeypatch.setattr(layers, "_bn_covered_bias", lambda b, train: b)
+    g_ref = grads_of(ts.params)
+
+    covered = []
+
+    # identify covered leaves structurally: conv2.b of any unit with a
+    # sibling bn, and the stem conv1.b (sibling bn1)
+    def mark(params, grads_o, grads_r, prefix=()):
+        if not isinstance(params, dict):
+            return
+        keys = set(params)
+        for k in keys:
+            sub = params[k]
+            if isinstance(sub, dict) and "conv2" in sub and "bn" in sub:
+                covered.append(("/".join(prefix + (k, "conv2", "b")),
+                                grads_o[k]["conv2"]["b"],
+                                grads_r[k]["conv2"]["b"]))
+            if isinstance(sub, dict) and "bn1" in sub and "conv1" in sub:
+                covered.append(("/".join(prefix + (k, "conv1", "b")),
+                                grads_o[k]["conv1"]["b"],
+                                grads_r[k]["conv1"]["b"]))
+            if isinstance(sub, dict):
+                mark(sub, grads_o[k], grads_r[k], prefix + (k,))
+
+    mark(ts.params, g_opt, g_ref)
+    assert len(covered) >= 8  # stem + every BN'd ConvDPUnit
+
+    covered_names = {n for n, _, _ in covered}
+    for name, go, gr in covered:
+        np.testing.assert_array_equal(
+            np.asarray(go), 0.0, err_msg=f"{name}: optimized grad not zero")
+        # analytic claim: plain autodiff agrees the grad is ~0 relative
+        # to the largest bias grad in the model
+        assert np.max(np.abs(np.asarray(gr))) < 1e-3, name
+
+    # every non-covered leaf identical between the two programs
+    flat_o = jax.tree_util.tree_leaves_with_path(g_opt)
+    flat_r = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_ref)}
+    for k, v in flat_o:
+        ks = jax.tree_util.keystr(k)
+        name = ks.replace("['", "").replace("']", "/").rstrip("/")
+        if name in covered_names:
+            continue
+        np.testing.assert_allclose(np.asarray(v), np.asarray(flat_r[ks]),
+                                   rtol=1e-6, atol=1e-7, err_msg=ks)

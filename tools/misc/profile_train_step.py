@@ -88,12 +88,15 @@ def main(argv=None):
     # computation, so the trace rows can be categorized
     import re
     hlo = step.lower(ts, batch).compile().as_text()
+    # computation header lines look like
+    #   %fused_computation.12 (param_0.3: bf16[64]{0:T(256)(128)(2,1)}) -> ... {
+    # — parameter types contain nested parens, so take the first token
+    # rather than trying to match the parameter list with a regex
     comp_ops = {}
     cur = None
     for line in hlo.splitlines():
-        mdef = re.match(r"%?([\w\.\-]+)\s*\([^)]*\)\s*->", line.strip())
-        if line and not line.startswith(" ") and mdef:
-            cur = mdef.group(1)
+        if line and not line.startswith(" ") and "->" in line:
+            cur = line.strip().split()[0].lstrip("%")
             comp_ops[cur] = set()
         elif cur:
             for op in ("convolution", "select-and-scatter", "scatter",
@@ -103,9 +106,23 @@ def main(argv=None):
                     comp_ops[cur].add(op.rstrip("("))
     inst_comp = {}
     for mm in re.finditer(
-            r"%?([\w\.\-]+)\s*=\s*\S+\s+fusion\(.*?calls=%?([\w\.\-]+)",
+            r"%?([\w\.\-]+)\s*=\s*[^=]*?\bfusion\(.*?calls=%?([\w\.\-]+)",
             hlo):
         inst_comp[mm.group(1)] = mm.group(2)
+    # direct (non-fusion) instructions: map name -> opcode so e.g. a
+    # pallas custom-call named %jvp__.1 is not binned as "other"
+    inst_op = {}
+    opcodes = ("custom-call", "select-and-scatter", "reduce-window",
+               "convolution", "scatter", "copy", "fusion", "while",
+               "all-reduce", "dot")
+    for line in hlo.splitlines():
+        m = re.match(r"\s+(?:ROOT\s+)?%?([\w\.\-]+)\s*=\s*", line)
+        if not m:
+            continue
+        for op in opcodes:
+            if " " + op + "(" in line:
+                inst_op.setdefault(m.group(1), op)
+                break
 
     # instruction -> output bytes (from the HLO result shape), for an
     # implied-bandwidth column: out_bytes/time is a LOWER bound on the
@@ -113,45 +130,55 @@ def main(argv=None):
     _dt_bytes = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "f16": 2,
                  "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8,
                  "f64": 8, "s16": 2, "u16": 2}
+    # result type is everything between "= " and the opcode token; tuple
+    # results and layout annotations both contain parens, so just findall
+    # shape atoms in that segment (operand shapes come after the opcode's
+    # open-paren, so splitting at the first "(" following the type —
+    # i.e. the opcode call — keeps them out)
     inst_bytes = {}
-    for mm in re.finditer(
-            r"%?([\w\.\-]+)\s*=\s*(?:\(([^)]*)\)|(\w+)\[([\d,]*)\])",
-            hlo):
-        name = mm.group(1)
+    for line in hlo.splitlines():
+        m = re.match(r"\s+(?:ROOT\s+)?%?([\w\.\-]+)\s*=\s*(.*)$", line)
+        if not m:
+            continue
+        name, rest = m.group(1), m.group(2)
+        mm = re.search(r"\b[a-z][\w-]*\(", rest)  # opcode call start
+        seg = rest[:mm.start()] if mm else rest
         total = 0
-        if mm.group(2) is not None:       # tuple result
-            for part in re.finditer(r"(\w+)\[([\d,]*)\]", mm.group(2)):
-                n = 1
-                for d in part.group(2).split(","):
-                    if d:
-                        n *= int(d)
-                total += n * _dt_bytes.get(part.group(1), 4)
-        else:
+        for part in re.finditer(r"(\w+)\[([\d,]*)\]", seg):
             n = 1
-            for d in (mm.group(4) or "").split(","):
+            for d in part.group(2).split(","):
                 if d:
                     n *= int(d)
-            total = n * _dt_bytes.get(mm.group(3), 4)
-        inst_bytes[name] = max(inst_bytes.get(name, 0), total)
+            total += n * _dt_bytes.get(part.group(1), 4)
+        if total:
+            inst_bytes[name] = max(inst_bytes.get(name, 0), total)
 
     def categorize(name):
         comp = inst_comp.get(name)
         ops = comp_ops.get(comp, set()) if comp else set()
         base = name.split(".")[0]
-        if "custom-call" in ops or base in ("custom-call",):
+        op = inst_op.get(name, "")
+        if "custom-call" in ops or op == "custom-call" or \
+                base in ("custom-call",):
             return "pallas/custom-call"
-        if "convolution" in ops:
+        if "convolution" in ops or op == "convolution":
             return "conv fusion"
-        if "select-and-scatter" in ops or base == "select_and_scatter":
+        if "select-and-scatter" in ops or op == "select-and-scatter" or \
+                base == "select_and_scatter":
             return "maxpool-bwd (select&scatter)"
-        if "scatter" in ops or base == "scatter":
+        if "scatter" in ops or op == "scatter" or base == "scatter":
             return "scatter"
-        if "reduce-window" in ops or base == "reduce_window":
+        if "reduce-window" in ops or op == "reduce-window" or \
+                base == "reduce_window":
             return "maxpool-fwd"
-        if "dot" in ops:
+        if "dot" in ops or op == "dot":
             return "dot fusion"
         if "reduce" in ops or "reduce" in base or "convert_reduce" in name:
             return "reduce fusion"
+        if op == "copy" or base == "copy":
+            return "copy/layout"
+        if op == "while" or base == "while":
+            return "while/serial"
         return "other"
 
     with jax.profiler.trace(args.out):

@@ -154,9 +154,26 @@ def conv_dp_unit_init(key, cin: int, cout: int,
     return p, s
 
 
+def _bn_covered_bias(b: jnp.ndarray, train: bool) -> jnp.ndarray:
+    """Bias of a conv whose output feeds train-mode BatchNorm directly.
+
+    A per-channel constant added before train-mode BN is exactly cancelled
+    by the batch-mean subtraction, so dL/db == 0 analytically (the BN
+    input-gradient sums to zero over (N, H, W) per channel). XLA cannot
+    see that and emits a full-HBM reduce_sum over dy for each such bias
+    (~2 ms/step each at b128/640²). stop_gradient removes those passes;
+    forward values, export paths, and the SGD weight-decay term on the
+    bias are all unchanged.
+    """
+    return jax.lax.stop_gradient(b) if train else b
+
+
 def conv_dp_unit(p: Params, s: State, x: jnp.ndarray, *,
                  train: bool = False,
                  fused: bool = False) -> Tuple[jnp.ndarray, State]:
+    b2 = p["conv2"]["b"]
+    if "bn" in p:
+        b2 = _bn_covered_bias(b2, train)
     if fused:
         # single Pallas kernel (pw matmul + dw stencil, custom VJP) —
         # keeps the pointwise intermediate out of HBM in both directions
@@ -168,10 +185,10 @@ def conv_dp_unit(p: Params, s: State, x: jnp.ndarray, *,
         cout = p["conv1"]["w"].shape[-1]
         rb = 32 if min(cin, cout) >= 32 else 8
         x = fused_pw_dw(x, p["conv1"]["w"], p["conv1"]["b"],
-                        p["conv2"]["w"], p["conv2"]["b"], rb)
+                        p["conv2"]["w"], b2, rb)
     else:
         x = conv2d(x, p["conv1"]["w"], p["conv1"]["b"])
-        x = conv2d(x, p["conv2"]["w"], p["conv2"]["b"], padding=1,
+        x = conv2d(x, p["conv2"]["w"], b2, padding=1,
                    depthwise=True)
     if "bn" in p:
         x, new_bn = batch_norm(x, p["bn"], s["bn"], train=train)
@@ -195,7 +212,8 @@ def conv_head_init(key, cin: int, cmid: int,
 def conv_head(p: Params, s: State, x: jnp.ndarray, *,
               train: bool = False,
               fused: bool = False) -> Tuple[jnp.ndarray, State]:
-    x = conv2d(x, p["conv1"]["w"], p["conv1"]["b"], stride=2, padding=1)
+    x = conv2d(x, p["conv1"]["w"], _bn_covered_bias(p["conv1"]["b"], train),
+               stride=2, padding=1)
     x, new_bn1 = batch_norm(x, p["bn1"], s["bn1"], train=train)
     x = relu(x)
     x, new_conv2 = conv_dp_unit(p["conv2"], s["conv2"], x, train=train,
