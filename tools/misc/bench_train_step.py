@@ -63,6 +63,9 @@ def main(argv=None):
     ap.add_argument("--pool", default="rw")
     ap.add_argument("--dtype", default="f32")
     ap.add_argument("--simota", default="folded")
+    ap.add_argument("--bn-bias", default="skip",
+                    help="skip = stop_gradient on BN-covered conv biases "
+                         "(production), keep = plain autodiff")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -76,6 +79,7 @@ def main(argv=None):
     pools = args.pool.split(",")
     dtypes = args.dtype.split(",")
     simotas = args.simota.split(",")
+    bn_biases = args.bn_bias.split(",")
     rng = np.random.RandomState(0)
     cfg = yunet_n()
     cfg = dataclasses.replace(
@@ -88,10 +92,15 @@ def main(argv=None):
                   "reshape": backbone.max_pool2x_reshape}
     import functools
     from yunet_tpu.ops import simota_pallas
+    from yunet_tpu.models import layers
     simota_orig = simota_pallas.streamed_simota
+    bn_bias_orig = layers._bn_covered_bias
 
-    for pool, dt, sim in itertools.product(pools, dtypes, simotas):
+    for pool, dt, sim, bnb in itertools.product(pools, dtypes, simotas,
+                                                bn_biases):
         backbone.max_pool2x = pool_impls[pool]
+        layers._bn_covered_bias = (bn_bias_orig if bnb == "skip"
+                                   else lambda b, train: b)
         simota_pallas.streamed_simota = functools.partial(
             simota_orig, folded=(sim == "folded"))
         if sim == "xla":     # dense XLA SimOTA instead of the kernel
@@ -111,7 +120,8 @@ def main(argv=None):
                            np_dt)
         ts, m = step(ts, batch)                       # compile
         jax.block_until_ready(m["loss"])
-        variants.append({"name": f"pool={pool},dtype={dt},simota={sim}",
+        variants.append({"name": f"pool={pool},dtype={dt},simota={sim},"
+                                 f"bn_bias={bnb}",
                          "step": step, "ts": ts, "batch": batch,
                          "vals": []})
         print(f"compiled {variants[-1]['name']}", file=sys.stderr)
