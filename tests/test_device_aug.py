@@ -62,10 +62,26 @@ def test_resample_matches_host_pipeline():
     side = np.asarray([c[3] for c in cases], np.float32)
     flip = np.asarray([c[4] for c in cases])
 
-    got = np.asarray(device_resample(
-        jnp.asarray(bank_np), jnp.asarray(idx), jnp.asarray(y0),
-        jnp.asarray(x0), jnp.asarray(side), jnp.asarray(flip),
-        out_size=out_size))
+    args = (jnp.asarray(bank_np), jnp.asarray(idx), jnp.asarray(y0),
+            jnp.asarray(x0), jnp.asarray(side), jnp.asarray(flip))
+    got = np.asarray(device_resample(*args, out_size=out_size))
+    # row-tiled y-stage (production path when max_scale is known):
+    # max side 200 / out 96 -> bound 2.1; tile 32 -> strip 72 < 288,
+    # so the tiling is real. The excluded tent taps are exact zeros; in
+    # f32 the only deviation is FMA re-blocking of the contraction
+    # (~1 ulp), and in bf16 (the production train dtype, where tap
+    # products are exactly representable in the f32 accumulator) the
+    # two paths are bit-identical.
+    got_tiled = np.asarray(device_resample(
+        *args, out_size=out_size, max_scale=2.1, tile=32))
+    np.testing.assert_allclose(got, got_tiled, rtol=0, atol=1e-4)
+    import jax.numpy as _jnp
+    bf_dense = np.asarray(device_resample(
+        *args, out_size=out_size, dtype=_jnp.bfloat16).astype(_jnp.float32))
+    bf_tiled = np.asarray(device_resample(
+        *args, out_size=out_size, max_scale=2.1, tile=32,
+        dtype=_jnp.bfloat16).astype(_jnp.float32))
+    np.testing.assert_array_equal(bf_dense, bf_tiled)
 
     for b, (i, yy, xx, s, fl) in enumerate(cases):
         # host reference: 128-padded crop canvas then cv2.resize

@@ -177,7 +177,11 @@ def make_train_step(cfg: Config, model: YuNet, tx, *, img_size: int,
                 bank, batch.pop("aug_idx"), batch.pop("aug_y0"),
                 batch.pop("aug_x0"), batch.pop("aug_side"),
                 batch.pop("aug_flip"), out_size=img_size,
-                dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32)
+                dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+                # side <= max(crop_choice) * bank short side, so this
+                # bounds side/out_size even when bank_size != img_size
+                max_scale=max(cfg.data.crop_choice)
+                * cfg.data.bank_size / img_size)
             # the loader wires only the GT slots its shard can fill;
             # re-pad to the configured static shape here (free on device)
             need = cfg.data.max_gts - batch["gt_bboxes"].shape[1]
