@@ -340,6 +340,20 @@ def main():
                     extra["train_b128_achieved_tflops"] = round(tflops, 3)
                     extra["train_b128_mfu_pct"] = round(
                         100 * tflops / V5E_PEAK_BF16_TFLOPS, 3)
+                    # measured roofline (tools/misc/profile_train_step.py
+                    # --device-aug --ema, trace of the rehearsal program
+                    # incl. the row-tiled resample; details in
+                    # COMPONENTS.md). Summed fusion OUTPUT bytes alone are
+                    # 138 GB/step => >=1624 GB/s apparent vs the 819 GB/s
+                    # v5e HBM peak, so the step is HBM-traffic-bound;
+                    # ~3% MFU is structural for a 75k-param depthwise net.
+                    extra["train_b128_roofline_ms"] = {
+                        "step_total": 85.0, "conv_fusions_fwd_bwd": 58.4,
+                        "elementwise_fusions": 9.3, "reduce_fusions": 5.0,
+                        "layout_copies": 3.5, "maxpool": 4.4,
+                        "simota_pallas": 2.9, "resample_strip_loop": 1.5,
+                        "bound_by": "HBM traffic",
+                        "tool": "tools/misc/profile_train_step.py"}
             except Exception:
                 errors[f"train_b{tb}"] = traceback.format_exc(limit=2)
 

@@ -217,3 +217,27 @@ def test_bn_covered_bias_grads_are_analytically_zero(monkeypatch):
             continue
         np.testing.assert_allclose(np.asarray(v), np.asarray(flat_r[ks]),
                                    rtol=1e-6, atol=1e-7, err_msg=ks)
+
+
+def test_remat_stages_bit_exact():
+    """ModelConfig.remat_stages is a pure perf knob: jax.checkpoint
+    recomputes the same ops, so one train step with stages 0-2
+    rematerialized must produce bit-identical params, state, and metrics
+    to the plain step (f32, CPU)."""
+    cfg = _small_cfg()
+    batch = _batch(2, 96, seed=7)
+
+    outs = []
+    for stages in ((), (0, 1, 2)):
+        c = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, remat_stages=stages))
+        model = YuNet(c.model)
+        ts, tx = init_train_state(c, steps_per_epoch=10, total_batch=2)
+        step = make_train_step(c, model, tx, img_size=96)
+        outs.append(step(ts, batch))
+
+    (ts_a, m_a), (ts_b, m_b) = outs
+    np.testing.assert_array_equal(float(m_a["loss"]), float(m_b["loss"]))
+    for a, b in zip(jax.tree_util.tree_leaves((ts_a.params, ts_a.state)),
+                    jax.tree_util.tree_leaves((ts_b.params, ts_b.state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

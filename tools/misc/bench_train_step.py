@@ -66,6 +66,10 @@ def main(argv=None):
     ap.add_argument("--bn-bias", default="skip",
                     help="skip = stop_gradient on BN-covered conv biases "
                          "(production), keep = plain autodiff")
+    ap.add_argument("--remat", default="none",
+                    help="comma list of backbone remat plans: none, or "
+                         "digit strings like 0 / 01 / 012 naming the "
+                         "stages to jax.checkpoint")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -96,8 +100,12 @@ def main(argv=None):
     simota_orig = simota_pallas.streamed_simota
     bn_bias_orig = layers._bn_covered_bias
 
-    for pool, dt, sim, bnb in itertools.product(pools, dtypes, simotas,
-                                                bn_biases):
+    remats = args.remat.split(",")
+    for pool, dt, sim, bnb, rm in itertools.product(pools, dtypes, simotas,
+                                                    bn_biases, remats):
+        stages = () if rm == "none" else tuple(int(c) for c in rm)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, remat_stages=stages))
         backbone.max_pool2x = pool_impls[pool]
         layers._bn_covered_bias = (bn_bias_orig if bnb == "skip"
                                    else lambda b, train: b)
@@ -121,7 +129,7 @@ def main(argv=None):
         ts, m = step(ts, batch)                       # compile
         jax.block_until_ready(m["loss"])
         variants.append({"name": f"pool={pool},dtype={dt},simota={sim},"
-                                 f"bn_bias={bnb}",
+                                 f"bn_bias={bnb},remat={rm}",
                          "step": step, "ts": ts, "batch": batch,
                          "vals": []})
         print(f"compiled {variants[-1]['name']}", file=sys.stderr)

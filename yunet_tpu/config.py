@@ -39,6 +39,14 @@ class ModelConfig:
     kps_num: int = 5
     strides: Tuple[int, ...] = (8, 16, 32)
     prior_offset: float = 0.0
+    # memory knob (training only, bit-exact): backbone stages to
+    # rematerialize in the backward pass instead of saving their ~419 MB
+    # (at b128/640^2) intermediate activations. MEASURED SLOWER on an
+    # HBM-bound step (b128: 1569 -> 1511/1465/1390 img/s for stages
+    # 0/01/012 — XLA materializes the recomputed tensors anyway, so the
+    # extra passes outweigh the saved residuals); useful only to fit
+    # larger batches/resolutions in HBM.
+    remat_stages: Tuple[int, ...] = ()
 
 
 @dataclass(frozen=True)

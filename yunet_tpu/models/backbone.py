@@ -7,6 +7,7 @@ in ``out_idx`` (strides 8/16/32 for the shipped configs).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
@@ -83,7 +84,8 @@ def yunet_backbone_init(key, stage_channels: Sequence[Sequence[int]]
 
 def yunet_backbone(p: Params, s: State, x: jnp.ndarray, *,
                    downsample_idx: Sequence[int], out_idx: Sequence[int],
-                   train: bool = False, fused: bool = False
+                   train: bool = False, fused: bool = False,
+                   remat_stages: Sequence[int] = ()
                    ) -> Tuple[List[jnp.ndarray], State]:
     num_stages = len(p)
     outs: List[jnp.ndarray] = []
@@ -91,7 +93,14 @@ def yunet_backbone(p: Params, s: State, x: jnp.ndarray, *,
     for i in range(num_stages):
         name = f"model{i}"
         fn = conv_head if i == 0 else conv4layer_block
-        x, new_s[name] = fn(p[name], s[name], x, train=train, fused=fused)
+        call = functools.partial(fn, train=train, fused=fused)
+        if train and i in remat_stages:
+            # recompute this stage's intermediates in the backward pass
+            # instead of round-tripping them through HBM (see
+            # ModelConfig.remat_stages)
+            call = jax.checkpoint(
+                call, policy=jax.checkpoint_policies.nothing_saveable)
+        x, new_s[name] = call(p[name], s[name], x)
         if i in out_idx:
             outs.append(x)
         if i in downsample_idx:

@@ -47,7 +47,8 @@ class YuNet:
         feats, ns_b = yunet_backbone(
             params["backbone"], state["backbone"], x,
             downsample_idx=self.cfg.downsample_idx,
-            out_idx=self.cfg.out_idx, train=train, fused=fused)
+            out_idx=self.cfg.out_idx, train=train, fused=fused,
+            remat_stages=self.cfg.remat_stages)
         feats, ns_n = tfpn(params["neck"], state["neck"], feats,
                            out_idx=tuple(range(len(feats))), train=train,
                            fused=fused)
