@@ -94,7 +94,7 @@ def _serve_fn(cfg, model, det):
     import jax.numpy as jnp
     from yunet_tpu.models.fused import fused_forward
     from yunet_tpu.models.head import flatten_level_outputs
-    from yunet_tpu.ops.nms_pallas import pallas_nms
+    from yunet_tpu.ops.nms_pallas import pallas_nms_batched
     from yunet_tpu.ops.boxes import bbox_decode, kps_decode
     from yunet_tpu.ops.priors import grid_priors
 
@@ -114,12 +114,13 @@ def _serve_fn(cfg, model, det):
         boxes = bbox_decode(priors, flat["bbox"].astype(jnp.float32))
         kps = kps_decode(priors, flat["kps"].astype(jnp.float32))
 
-        def one(bx, sc, kp):
-            dets, keep, idx = pallas_nms(
-                bx, sc, top_k=512, iou_thr=cfg.test.nms_iou_thr,
-                score_thr=cfg.test.score_thr)
-            return dets, keep, kp[idx]
-        return jax.vmap(one)(boxes, scores, kps)
+        # whole-batch NMS in ONE kernel invocation (batch on sublanes);
+        # the former vmapped per-image kernel serialized over the batch
+        # grid and was 54% of the serve program's device time
+        dets, keep, idx = pallas_nms_batched(
+            boxes, scores, top_k=512, iou_thr=cfg.test.nms_iou_thr,
+            score_thr=cfg.test.score_thr)
+        return dets, keep, jnp.take_along_axis(kps, idx[..., None], axis=1)
 
     return serve_batch
 

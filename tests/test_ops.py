@@ -190,3 +190,31 @@ def test_eiou_matches_reference_formula(seed):
                        smooth_point=0.1, eps=1e-6).sum())(jnp.asarray(pred)))
     want.sum().backward()
     np.testing.assert_allclose(g, tp.grad.numpy(), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("bsz,n,top_k", [(5, 300, 256), (3, 900, 512),
+                                         (1, 100, 128), (9, 150, 64)])
+def test_pallas_nms_batched_matches_per_image(bsz, n, top_k):
+    """One-invocation batched kernel (batch on sublanes, score-order
+    tiles) == the per-image kernel for every image in the batch —
+    including cross-tile suppression (top_k > one 128 tile), non-8
+    batch sizes, and dense overlapping boxes."""
+    from yunet_tpu.ops.nms_pallas import pallas_nms, pallas_nms_batched
+    rng = np.random.RandomState(41 + bsz)
+    boxes = np.stack([_random_boxes(n, 100 * bsz + i) for i in range(bsz)])
+    scores = rng.uniform(0, 1, (bsz, n)).astype(np.float32)
+    # push some scores below threshold so the valid mask is exercised
+    scores[:, :: 7] *= 0.01
+
+    db, kb, ib = pallas_nms_batched(
+        jnp.asarray(boxes), jnp.asarray(scores), top_k=top_k,
+        iou_thr=0.45, score_thr=0.02)
+    for b in range(bsz):
+        d1, k1, i1 = pallas_nms(
+            jnp.asarray(boxes[b]), jnp.asarray(scores[b]), top_k=top_k,
+            iou_thr=0.45, score_thr=0.02)
+        np.testing.assert_array_equal(np.asarray(kb)[b], np.asarray(k1),
+                                      err_msg=f"image {b}")
+        np.testing.assert_array_equal(np.asarray(ib)[b], np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(db)[b], np.asarray(d1),
+                                   rtol=1e-6)

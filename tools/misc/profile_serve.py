@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Profile the batched serving program (the bench.py headline path).
+
+Builds the exact `bench.py:_serve_fn` program — folded-BN trunk +
+decode + vmapped Pallas NMS in one compiled program at 320² — traces a
+few dispatches, and prints the per-category / per-op device table so
+the serving roofline is measured, not asserted (the train step got this
+treatment in round 3; this is the serving side).
+
+Usage: python tools/misc/profile_serve.py --batch 16 --iters 20
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=20,
+                    help="dispatches inside the trace")
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--config", default="yunet_n",
+                    choices=["yunet_n", "yunet_s"])
+    ap.add_argument("--out", default="/tmp/yunet_serve_trace")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from yunet_tpu import config as cfg_mod
+    from yunet_tpu.eval import Detector
+    from yunet_tpu.utils.env import enable_compilation_cache
+    from yunet_tpu.utils.trace_profile import (HloMaps, aggregate_trace,
+                                               report)
+
+    enable_compilation_cache()
+    cfg = getattr(cfg_mod, args.config)()
+    model, params, state = bench._load(
+        cfg, bench.REF_PTH if args.config == "yunet_n" else bench.REF_PTH_S)
+    det = Detector(cfg, params, state, bf16=True, fused=True)
+    serve = bench._serve_fn(cfg, model, det)
+
+    rng = np.random.RandomState(0)
+    xs = [jnp.asarray(rng.randint(0, 256, (args.batch, 320, 320, 3))
+                      .astype(np.uint8)) for _ in range(4)]
+    bench._sync(serve(xs[0]))
+    maps = HloMaps(serve.lower(xs[0]).compile().as_text())
+
+    with jax.profiler.trace(args.out):
+        out = None
+        for i in range(args.iters):
+            out = serve(xs[i % 4])
+        bench._sync(out)
+
+    tot, cnt = aggregate_trace(args.out)
+    report(maps, tot, cnt, args.iters, args.top)
+    total_us = sum(tot.values())
+    ms = total_us / args.iters / 1e3
+    print(f"\ndevice-time throughput bound: "
+          f"{args.batch / (ms / 1e3):.0f} img/s at batch {args.batch} "
+          f"(wall-clock bench adds dispatch/tunnel overhead)")
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,83 @@ def _nms_kernel(iou_thr: float, k: int, boxes_ref, valid_ref, keep_ref):
                                1.0 - suppressed, 0.0)
 
 
+def _nms_batched_kernel(iou_thr: float, k: int, boxes_ref, keep_ref):
+    """Whole-batch greedy NMS in one kernel invocation.
+
+    vmap of the per-image kernel lowers to a sequential grid over the
+    batch (one TensorCore on v5e), so batch-16 serving paid 16x the
+    serial 512-step loop (~1.4 ms, 54% of the serve program's device
+    time — tools/misc/profile_serve.py). Here the batch rides the
+    SUBLANE dimension instead: the same serial score-order loop runs
+    once, but each step suppresses across all B images at once on
+    (B, KP) registers. VMEM footprint is just the six (B, KP) f32
+    coordinate/state arrays (a tiled variant with vectorized cross-tile
+    3D IoU was measured equal at b16 and blew Mosaic's 16 MB scoped
+    VMEM stack at b128 — the unrolled per-tile-pair buffers don't get
+    reused).
+
+    Exact greedy semantics (mmcv C++ nms order): identical keep set to
+    the per-image kernel; cross-tested in tests/test_ops.py.
+    """
+    x1, y1, x2, y2 = (boxes_ref[i] for i in range(4))    # (B, KP)
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, x1.shape[1]), 1)
+
+    def body(i, suppressed):
+        sel = (col == i).astype(jnp.float32)              # (1, KP)
+        alive_i = 1.0 - jnp.sum(suppressed * sel, axis=1, keepdims=True)
+        bx1 = jnp.sum(x1 * sel, axis=1, keepdims=True)    # (B, 1)
+        by1 = jnp.sum(y1 * sel, axis=1, keepdims=True)
+        bx2 = jnp.sum(x2 * sel, axis=1, keepdims=True)
+        by2 = jnp.sum(y2 * sel, axis=1, keepdims=True)
+        barea = jnp.sum(area * sel, axis=1, keepdims=True)
+        iw = jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1)
+        ih = jnp.minimum(y2, by2) - jnp.maximum(y1, by1)
+        inter = jnp.maximum(iw, 0.0) * jnp.maximum(ih, 0.0)
+        iou = inter / jnp.maximum(area + barea - inter, 1e-9)
+        hit = jnp.where((iou > iou_thr) & (col > i), alive_i, 0.0)
+        return jnp.maximum(suppressed, hit)
+
+    suppressed = jax.lax.fori_loop(
+        0, k, body, jnp.zeros(x1.shape, jnp.float32))
+    keep_ref[:, :] = 1.0 - suppressed
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "iou_thr",
+                                             "score_thr"))
+def pallas_nms_batched(boxes: jnp.ndarray, scores: jnp.ndarray, *,
+                       top_k: int, iou_thr: float = 0.45,
+                       score_thr: float = 0.02):
+    """Batched greedy NMS: boxes (B,P,4), scores (B,P) -> per-image
+    (dets (B,K,5), keep (B,K) bool, idx (B,K)). Same per-image keep set
+    as ``pallas_nms`` but the whole batch runs in ONE kernel invocation
+    with the batch on sublanes (see _nms_batched_kernel)."""
+    bsz, p = scores.shape
+    k = min(top_k, p)
+    kp = _round_up(k, LANE)
+    bp = _round_up(bsz, 8)                   # f32 sublane tile
+    valid = scores >= score_thr
+    masked = jnp.where(valid, scores, -1.0)
+    top_scores, idx = jax.lax.top_k(masked, k)            # (B, k)
+    top_boxes = jnp.take_along_axis(
+        boxes.astype(jnp.float32), idx[..., None], axis=1)  # (B, k, 4)
+
+    rows = jnp.zeros((4, bp, kp), jnp.float32)
+    rows = rows.at[:, :bsz, :k].set(jnp.moveaxis(top_boxes, -1, 0))
+
+    keep = pl.pallas_call(
+        functools.partial(_nms_batched_kernel, float(iou_thr), k),
+        out_shape=jax.ShapeDtypeStruct((bp, kp), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(rows)
+
+    keep_k = (keep[:bsz, :k] > 0.5) & (top_scores >= score_thr)
+    dets = jnp.concatenate([top_boxes, top_scores[..., None]], axis=-1)
+    return dets, keep_k, idx
+
+
 @functools.partial(jax.jit, static_argnames=("top_k", "iou_thr",
                                              "score_thr"))
 def pallas_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *, top_k: int,
