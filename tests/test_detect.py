@@ -340,3 +340,53 @@ def test_detect_sweep_remainder_ladder(yunet_n_pth, monkeypatch):
     for img, out in zip(imgs, outs):
         ref = det.detect(img, mode=(96, 64), score_thr=0.01)
         assert ref["bboxes"].shape == out["bboxes"].shape
+
+
+def test_detect_batch_device_nms_matches_host(yunet_n_pth):
+    """detect_batch(use_device_nms=True) — the whole-batch Pallas NMS
+    fused into the program with a packed top-k readback — must produce
+    the host-C++-NMS results, including the higher-score_thr exact
+    post-filter and the lower-thr ValueError contract."""
+    det = init_detector("yunet_n", yunet_n_pth)
+    imgs = [_img(96, 128, seed=30 + i) for i in range(3)]
+    host = det.detect_batch(imgs, mode=(128, 96), score_thr=0.02)
+    dev = det.detect_batch(imgs, mode=(128, 96), score_thr=0.02,
+                           use_device_nms=True)
+    for rh, rd in zip(host, dev):
+        assert rh["bboxes"].shape == rd["bboxes"].shape
+        np.testing.assert_allclose(rh["bboxes"], rd["bboxes"],
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(rh["kps"], rd["kps"],
+                                   rtol=1e-4, atol=1e-3)
+    hi = det.detect_batch(imgs, mode=(128, 96), score_thr=0.3,
+                          use_device_nms=True)
+    hi_host = det.detect_batch(imgs, mode=(128, 96), score_thr=0.3)
+    for rh, rd in zip(hi_host, hi):
+        assert rh["bboxes"].shape == rd["bboxes"].shape
+    with pytest.raises(ValueError):
+        det.detect_batch(imgs, mode=(128, 96), score_thr=0.001,
+                         use_device_nms=True)
+
+
+def test_detect_batch_device_nms_sharded_matches_unsharded(yunet_n_pth):
+    """Device-NMS batched path under a dp-sharded batch: the Pallas
+    kernel runs per shard via shard_map and must equal the unsharded
+    device-NMS results bit-for-close."""
+    import jax
+    from jax.sharding import Mesh
+
+    det = init_detector("yunet_n", yunet_n_pth)
+    imgs = [_img(64, 96, seed=50 + i) for i in range(8)]
+    ref = det.detect_batch(imgs, mode=(96, 64), score_thr=0.02,
+                           use_device_nms=True)
+    det.mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    det._batch_cache.clear()
+    got = det.detect_batch(imgs, mode=(96, 64), score_thr=0.02,
+                           use_device_nms=True)
+    assert len(got) == len(ref) == 8
+    for r, g in zip(ref, got):
+        assert r["bboxes"].shape == g["bboxes"].shape
+        np.testing.assert_allclose(r["bboxes"], g["bboxes"],
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(r["kps"], g["kps"],
+                                   rtol=1e-5, atol=1e-3)

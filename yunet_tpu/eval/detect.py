@@ -25,7 +25,7 @@ import numpy as np
 from ..config import Config
 from ..models.detector import YuNet
 from ..ops.boxes import bbox_decode, kps_decode
-from ..ops.nms_pallas import pallas_nms
+from ..ops.nms_pallas import pallas_nms, pallas_nms_batched
 from ..ops.priors import grid_priors
 from .. import native
 
@@ -281,14 +281,25 @@ class Detector:
 
     def detect_batch(self, imgs_bgr, mode: Union[str, Tuple[int, int]], *,
                      score_thr: Optional[float] = None,
-                     pad_divisor: int = 32):
+                     pad_divisor: int = 32,
+                     use_device_nms: bool = False,
+                     device_nms_top_k: int = 750):
         """Batched detection on one shared canvas (for mode-0/1/2 WIDER
         eval and serving): all images are letterboxed (tuple modes) or
         zero-padded to the bucket (ORIGIN/AUTO + pad_divisor) onto the
         SAME canvas shape, run as a single batch forward, then per-image
         host NMS. The caller groups images so the canvas is uniform
         (orientation groups for non-square tuple modes; padded-bucket
-        groups for origin-size)."""
+        groups for origin-size).
+
+        use_device_nms=True fuses the whole-batch Pallas greedy-NMS
+        kernel (ops/nms_pallas.py:pallas_nms_batched) into the program
+        and reads back only the packed top-``device_nms_top_k`` rows
+        per image — instead of the full (B, P, 15) raw maps + host C++
+        NMS. Same keep set as the host path for images with at most
+        device_nms_top_k candidates above cfg.test.score_thr; a HIGHER
+        per-call score_thr is applied as an exact post-filter (same
+        contract as detect()), a lower one raises."""
         import cv2  # noqa: F401 (resize_img uses it)
 
         score_thr = (self.cfg.test.score_thr if score_thr is None
@@ -328,13 +339,15 @@ class Detector:
         else:
             x = jnp.asarray(x)
         h, w = views[0].shape[:2]
-        if (h, w) not in self._batch_cache:
+        sharded = self.mesh is not None and x.shape[0] % self.mesh.size == 0
+        key = ((h, w) if not use_device_nms
+               else (h, w, "nms", device_nms_top_k, sharded))
+        if key not in self._batch_cache:
             sizes = self.model.featmap_sizes(h, w)
             priors = jnp.asarray(grid_priors(
                 sizes, self.cfg.model.strides, self.cfg.model.prior_offset))
 
-            @jax.jit
-            def fn(params, state, x):
+            def raw(params, state, x):
                 if self.bf16:
                     x = x.astype(jnp.bfloat16)
                 if self._folded is not None:
@@ -357,8 +370,67 @@ class Detector:
                 kps = kps_decode(priors, flat["kps"].astype(jnp.float32))
                 return scores, boxes, kps
 
-            self._batch_cache[(h, w)] = fn
-        scores, boxes, kps = self._batch_cache[(h, w)](
+            def nms_tail(scores, boxes, kps):
+                dets, keep, idx = pallas_nms_batched(
+                    boxes, scores, top_k=device_nms_top_k,
+                    iou_thr=self.cfg.test.nms_iou_thr,
+                    score_thr=self.cfg.test.score_thr)
+                return jnp.concatenate(
+                    [dets, keep[..., None].astype(dets.dtype),
+                     jnp.take_along_axis(kps, idx[..., None], axis=1)],
+                    axis=-1)                      # (B, K, 6 + 2*kps)
+
+            if not use_device_nms:
+                fn = jax.jit(raw)
+            elif sharded:
+                # the Pallas kernel is per-image along the batch rows,
+                # so under a dp-sharded batch it runs per shard via
+                # shard_map (XLA SPMD cannot partition a custom call)
+                from jax.sharding import PartitionSpec as P
+
+                def fn_sharded(params, state, x):
+                    tail = jax.shard_map(
+                        nms_tail, mesh=self.mesh,
+                        in_specs=(P("dp"), P("dp"), P("dp")),
+                        out_specs=P("dp"),
+                        # the pallas_call's ShapeDtypeStruct carries no
+                        # varying-mesh-axes annotation; per-shard
+                        # correctness is asserted by the sharded-vs-
+                        # unsharded parity test instead
+                        check_vma=False)
+                    return tail(*raw(params, state, x))
+                fn = jax.jit(fn_sharded)
+            else:
+                fn = jax.jit(
+                    lambda params, state, x: nms_tail(*raw(params, state,
+                                                           x)))
+            self._batch_cache[key] = fn
+
+        if use_device_nms:
+            if score_thr < self.cfg.test.score_thr:
+                raise ValueError(
+                    "device-NMS path cannot lower score_thr below "
+                    f"cfg.test.score_thr={self.cfg.test.score_thr}; "
+                    "rebuild the Detector with a lower config threshold")
+            packed = np.asarray(self._batch_cache[key](
+                self.params, self.state, x))       # ONE readback
+            results = []
+            for i, det_scale in enumerate(scales):
+                keep = packed[i, :, 5] > 0.5
+                if score_thr > self.cfg.test.score_thr:
+                    keep &= packed[i, :, 4] >= score_thr
+                sel = packed[i, keep, :5].copy()
+                ksel = packed[i, keep, 6:].copy()
+                if det_scale != 1.0:
+                    sel[:, :4] /= det_scale
+                    ksel /= det_scale
+                results.append({"bboxes": sel.astype(np.float32),
+                                "kps": ksel.astype(np.float32),
+                                "labels": np.zeros((sel.shape[0],),
+                                                   np.int64)})
+            return results
+
+        scores, boxes, kps = self._batch_cache[key](
             self.params, self.state, x)
         scores = np.asarray(scores)
         boxes = np.asarray(boxes)
@@ -382,7 +454,8 @@ class Detector:
     def detect_sweep(self, entries, mode: Union[str, Tuple[int, int]], *,
                      pad_divisor: int = 32, batch_size: int = 32,
                      score_thr: Optional[float] = None,
-                     on_result=None):
+                     on_result=None, use_device_nms: bool = False,
+                     device_nms_top_k: int = 750):
         """Batched detection sweep over many images of varying sizes —
         the engine behind tools/test_widerface.py and the in-training
         eval hook (~5-7x the reference's bs=1 loop on a TPU).
@@ -398,6 +471,10 @@ class Detector:
 
         Returns results in input order; on_result(index, result) fires
         as each completes (for progress reporting).
+
+        use_device_nms/device_nms_top_k pass through to detect_batch:
+        whole-batch Pallas NMS fused into the program with a packed
+        top-k readback instead of full raw maps + host C++ NMS.
         """
         groups: dict = {}
         for idx, (load_fn, (h, w)) in enumerate(entries):
@@ -446,7 +523,9 @@ class Detector:
                     stats["batches"] += 1
                     outs = self.detect_batch(
                         [img for _, img in part], mode,
-                        score_thr=score_thr, pad_divisor=pad_divisor)
+                        score_thr=score_thr, pad_divisor=pad_divisor,
+                        use_device_nms=use_device_nms,
+                        device_nms_top_k=device_nms_top_k)
                     for (idx, _), out in zip(part, outs):
                         emit(idx, out)
         if stats["misfit_solo"]:
