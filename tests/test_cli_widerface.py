@@ -211,3 +211,46 @@ def test_detect_image_cli_smoke(wider_fixture, yunet_n_pth, tmp_path):
         "--out", str(out), "--mode", "96,64", "--score-thresh", "0.01",
     ])
     assert out.exists() and cv2.imread(str(out)) is not None
+
+
+def test_widerface_cli_device_nms_ap(wider_fixture, yunet_n_pth, tmp_path):
+    """--device-nms (whole-batch Pallas NMS fused into the sweep with a
+    packed top-k readback) must reach the same ~1.0 AP through the full
+    WIDER protocol as the host-NMS path — the AP-level gate for the
+    device NMS serving path.
+
+    thr 0.002 keeps the fixture images' pre-NMS candidate counts
+    (52/384) under the 750-per-image device cap, where the device keep
+    set is exactly the host one; at THR=0.001 one image has 838
+    candidates and the cap costs AP by construction (measured 0.916)."""
+    import cv2
+    root, det = wider_fixture
+    thr = 0.002
+    imgs = []
+    for j in range(N_IMAGES):
+        img = cv2.imread(str(root / "images" / "0--Ev" / f"img{j}.png"))
+        out = det.detect(img, mode=(640, 640), pad_divisor=32,
+                         score_thr=thr)
+        bb = out["bboxes"]
+        assert len(bb) > 0
+        xywh = np.concatenate([bb[:, :2], bb[:, 2:4] - bb[:, :2]], axis=1)
+        imgs.append((xywh.astype(np.float64), list(range(1, len(bb) + 1))))
+    gt_dir = root / "gt_devnms"
+    gt_dir.mkdir(exist_ok=True)
+    gt_dir = _make_gt_dir(gt_dir, {"0--Ev": imgs})
+
+    import test_widerface as cli
+
+    aps = cli.main([
+        "yunet_n", yunet_n_pth,
+        "--mode", "0",
+        "--thr", str(thr),
+        "--ann", str(root / "labelv2.txt"),
+        "--img-prefix", str(root / "images"),
+        "--gt-dir", gt_dir,
+        "--eval-log", str(tmp_path / "eval.log"),
+        "--device-nms",
+    ])
+    assert len(aps) == 3
+    for ap in aps:
+        assert ap > 0.99, aps

@@ -35,6 +35,10 @@ def parse_args(argv=None):
                    "the distinct input shapes into fewer TPU programs "
                    "(reference pads /32)")
     p.add_argument("--eval-log", default="./eval.log")
+    p.add_argument("--device-nms", action="store_true",
+                   help="fuse whole-batch Pallas NMS into the sweep and "
+                   "read back only packed top-k rows (fast on slow host "
+                   "links; caps detections at 750/image)")
     p.add_argument("--limit", type=int, default=0,
                    help="evaluate only the first N images (debug)")
     return p.parse_args(argv)
@@ -104,7 +108,8 @@ def main(argv=None):
     outs = det.detect_sweep(
         [((lambda r=rec: load(r)), (rec.height, rec.width))
          for rec in records],
-        mode, pad_divisor=args.bucket, on_result=progress)
+        mode, pad_divisor=args.bucket, on_result=progress,
+        use_device_nms=args.device_nms)
     for rec, out in zip(records, outs):
         record_result(rec, out)
 

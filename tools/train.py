@@ -58,6 +58,10 @@ def parse_args(argv=None):
     p.add_argument("--eval-ann", default=None)
     p.add_argument("--eval-img-prefix", default=None)
     p.add_argument("--eval-gt-dir", default=None)
+    p.add_argument("--eval-device-nms", action="store_true",
+                   help="fuse whole-batch Pallas NMS into the eval sweep "
+                   "and read back only packed top-k rows (fast on slow "
+                   "host links; caps detections at 750/image)")
     return p.parse_args(argv)
 
 
@@ -115,7 +119,8 @@ def main(argv=None):
         eval_hook = make_wider_eval_hook(
             cfg, mode=widerface_eval_mode(args.eval_mode),
             ann=args.eval_ann, img_prefix=args.eval_img_prefix,
-            gt_dir=args.eval_gt_dir, limit=args.eval_limit, mesh=mesh)
+            gt_dir=args.eval_gt_dir, limit=args.eval_limit, mesh=mesh,
+            use_device_nms=args.eval_device_nms)
 
     ts = fit(cfg, work_dir=args.work_dir, resume_from=args.resume_from,
              auto_resume=args.auto_resume, load_pth=args.load_pth,

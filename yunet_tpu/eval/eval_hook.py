@@ -45,7 +45,9 @@ def make_wider_eval_hook(cfg: Config, *,
                          pad_divisor: int = 32,
                          limit: int = 0,
                          use_ema: bool = True,
-                         mesh=None):
+                         mesh=None,
+                         use_device_nms: bool = False,
+                         device_nms_top_k: int = 750):
     """Build an ``(train_state, step) -> {'easy','medium','hard'}`` hook.
 
     limit: evaluate only the first N val images (0 = all) — useful to keep
@@ -54,6 +56,12 @@ def make_wider_eval_hook(cfg: Config, *,
     shard their rows over all local devices instead of leaving every chip
     but one idle during in-training eval (the multi_gpu_test role,
     reference mmdet/apis/test.py:179-209).
+    use_device_nms: fuse the whole-batch Pallas NMS into the sweep and
+    read back only packed top-``device_nms_top_k`` rows per image —
+    on hosts with a slow device link the origin-size raw-map readbacks
+    dominate the hook's wall time. Detections cap at device_nms_top_k
+    per image (AP-identical unless an image has more candidates above
+    cfg.test.score_thr).
     """
     import cv2
 
@@ -96,7 +104,9 @@ def make_wider_eval_hook(cfg: Config, *,
         outs = det.detect_sweep(
             [((lambda r=rec: load(r)), (rec.height, rec.width))
              for rec in records],
-            mode, pad_divisor=pad_divisor)
+            mode, pad_divisor=pad_divisor,
+            use_device_nms=use_device_nms,
+            device_nms_top_k=device_nms_top_k)
         results = {}
         for rec, out in zip(records, outs):
             bb = out["bboxes"]
