@@ -236,7 +236,42 @@ def _sustained_rate(cfg_n, steps=40, warm=8):
         loader.close()
 
 
+def _arm_watchdog(extra, errors, fps_box, deadline_s):
+    """Emit the JSON line and hard-exit if the bench wedges.
+
+    The axon tunnel can die mid-session (observed round 3): jax calls
+    then HANG rather than raise, which would leave the driver with no
+    BENCH record at all. A daemon thread guarantees a (partial) JSON
+    line with whatever sections completed.
+    """
+    import threading
+
+    def watch():
+        time.sleep(deadline_s)
+        errors["watchdog"] = (f"bench exceeded {deadline_s}s — device "
+                              "tunnel presumed hung; partial record")
+        extra["errors"] = {k: v.splitlines()[-1] if "\n" in v else v
+                           for k, v in errors.items()}
+        print(json.dumps({
+            "metric": "serve_fps_320x320_b16_yunet_n",
+            "value": round(fps_box[0], 2),
+            "unit": "img/s",
+            "vs_baseline": round(fps_box[0] / BASELINE_FPS, 3),
+            "extra": extra,
+        }), flush=True)
+        os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def main():
+    extra = {}
+    errors = {}
+    fps_box = [0.0]
+    _arm_watchdog(extra, errors, fps_box,
+                  deadline_s=int(os.environ.get("YUNET_BENCH_DEADLINE_S",
+                                                5400)))
+
     import jax  # noqa: F401
     import numpy as np
 
@@ -250,8 +285,6 @@ def main():
     cfg = yunet_n()
     model, params, state = _load(cfg, REF_PTH)
 
-    extra = {}
-    errors = {}
     rng = np.random.RandomState(0)
 
     # ---- batch-1 detect @320^2 (the baseline-comparable number) ----------
@@ -301,6 +334,7 @@ def main():
         serve_batch = _serve_fn(cfg, model, det)
         wb = _serve_windows(serve_batch, rng, 16, iters=60)
         fps_typ = statistics.median(wb)          # the headline
+        fps_box[0] = fps_typ
         extra["detect_b16_best_imgs_per_s"] = round(max(wb), 1)
         wbb = _serve_windows(serve_batch, rng, 128, iters=25)
         extra["detect_b128_imgs_per_s"] = round(statistics.median(wbb), 1)
