@@ -11,6 +11,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8").strip()
+# Tests are CPU-only: never route compiles through the axon
+# remote-compile helper — with the device tunnel down, compiles that
+# reach it hang intermittently (observed round 3).
+for _var in ("PALLAS_AXON_REMOTE_COMPILE", "PALLAS_AXON_POOL_IPS",
+             "AXON_LOOPBACK_RELAY"):
+    os.environ.pop(_var, None)
 
 import jax  # noqa: E402
 

@@ -35,6 +35,13 @@ def _clean_env():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    # CPU-only workers must not route XLA compiles through the axon
+    # remote-compile helper: with the device tunnel down (observed
+    # round 3) compiles then hang intermittently, which surfaced as an
+    # in-suite timeout of this test with the real failure invisible.
+    for var in ("PALLAS_AXON_REMOTE_COMPILE", "PALLAS_AXON_POOL_IPS",
+                "AXON_LOOPBACK_RELAY"):
+        env.pop(var, None)
     return env
 
 
