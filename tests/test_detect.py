@@ -390,3 +390,33 @@ def test_detect_batch_device_nms_sharded_matches_unsharded(yunet_n_pth):
                                    rtol=1e-5, atol=1e-4)
         np.testing.assert_allclose(r["kps"], g["kps"],
                                    rtol=1e-5, atol=1e-3)
+
+
+def test_detect_sweep_prefetch_matches_sync(yunet_n_pth):
+    """The lookahead-thread chunk loader must produce identical results
+    to the synchronous path, load every image exactly once, and keep
+    input-order emission."""
+    det = init_detector("yunet_n", yunet_n_pth)
+    calls = {}
+
+    def entry(i, img):
+        def load():
+            calls[i] = calls.get(i, 0) + 1
+            return img
+        return (load, img.shape[:2])
+
+    imgs = ([_img(60, 100, seed=70 + i) for i in range(5)]
+            + [_img(100, 60, seed=80 + i) for i in range(4)])
+    entries = [entry(i, img) for i, img in enumerate(imgs)]
+
+    ref = det.detect_sweep(entries, (96, 64), score_thr=0.01,
+                           batch_size=4, prefetch=False)
+    assert calls == {i: 1 for i in range(len(imgs))}
+    calls.clear()
+    got = det.detect_sweep(entries, (96, 64), score_thr=0.01,
+                           batch_size=4, prefetch=True)
+    assert calls == {i: 1 for i in range(len(imgs))}
+    assert len(got) == len(ref) == len(imgs)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r["bboxes"], g["bboxes"])
+        np.testing.assert_array_equal(r["kps"], g["kps"])

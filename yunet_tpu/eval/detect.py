@@ -455,7 +455,8 @@ class Detector:
                      pad_divisor: int = 32, batch_size: int = 32,
                      score_thr: Optional[float] = None,
                      on_result=None, use_device_nms: bool = False,
-                     device_nms_top_k: int = 750):
+                     device_nms_top_k: int = 750,
+                     prefetch: bool = True):
         """Batched detection sweep over many images of varying sizes —
         the engine behind tools/test_widerface.py and the in-training
         eval hook (~5-7x the reference's bs=1 loop on a TPU).
@@ -475,6 +476,11 @@ class Detector:
         use_device_nms/device_nms_top_k pass through to detect_batch:
         whole-batch Pallas NMS fused into the program with a packed
         top-k readback instead of full raw maps + host C++ NMS.
+
+        prefetch=True decodes the NEXT chunk's images on a lookahead
+        thread while the current chunk runs its forward + NMS — the
+        single_gpu_test loop's DataLoader-worker overlap (reference
+        mmdet/apis/test.py:23-78), here one chunk deep.
         """
         groups: dict = {}
         for idx, (load_fn, (h, w)) in enumerate(entries):
@@ -495,39 +501,62 @@ class Detector:
             if on_result is not None:
                 on_result(idx, res)
 
-        for key, members in groups.items():
-            for start in range(0, len(members), batch_size):
-                chunk = members[start:start + batch_size]
-                loaded, misfits = [], []
-                for idx, load_fn, hint in chunk:
-                    img = load_fn()
-                    actual = canvas_shape(img.shape[0], img.shape[1],
-                                          mode, pad_divisor)
-                    (loaded if actual == key else misfits).append(
-                        (idx, img))
-                for idx, img in misfits:   # hint was wrong: run solo
-                    stats["misfit_solo"] += 1
-                    emit(idx, self.detect(img, mode=mode,
-                                          score_thr=score_thr,
-                                          pad_divisor=pad_divisor))
-                # a partial chunk runs as remainder-ladder sub-batches
-                # (17 -> 16 + 1) instead of padding up with duplicated
-                # images — no wasted forward or host-NMS work, and only
-                # ladder sizes compile (log2(batch_size) per canvas)
-                pos = 0
-                while pos < len(loaded):
-                    size = next(s for s in ladder
-                                if s <= len(loaded) - pos)
-                    part = loaded[pos:pos + size]
-                    pos += size
-                    stats["batches"] += 1
-                    outs = self.detect_batch(
-                        [img for _, img in part], mode,
-                        score_thr=score_thr, pad_divisor=pad_divisor,
-                        use_device_nms=use_device_nms,
-                        device_nms_top_k=device_nms_top_k)
-                    for (idx, _), out in zip(part, outs):
-                        emit(idx, out)
+        tasks = [(key, members[start:start + batch_size])
+                 for key, members in groups.items()
+                 for start in range(0, len(members), batch_size)]
+
+        def load_chunk(task):
+            key, chunk = task
+            loaded, misfits = [], []
+            for idx, load_fn, hint in chunk:
+                img = load_fn()
+                actual = canvas_shape(img.shape[0], img.shape[1],
+                                      mode, pad_divisor)
+                (loaded if actual == key else misfits).append((idx, img))
+            return loaded, misfits
+
+        def process(loaded, misfits):
+            for idx, img in misfits:   # hint was wrong: run solo
+                stats["misfit_solo"] += 1
+                emit(idx, self.detect(img, mode=mode,
+                                      score_thr=score_thr,
+                                      pad_divisor=pad_divisor))
+            # a partial chunk runs as remainder-ladder sub-batches
+            # (17 -> 16 + 1) instead of padding up with duplicated
+            # images — no wasted forward or host-NMS work, and only
+            # ladder sizes compile (log2(batch_size) per canvas)
+            pos = 0
+            while pos < len(loaded):
+                size = next(s for s in ladder
+                            if s <= len(loaded) - pos)
+                part = loaded[pos:pos + size]
+                pos += size
+                stats["batches"] += 1
+                outs = self.detect_batch(
+                    [img for _, img in part], mode,
+                    score_thr=score_thr, pad_divisor=pad_divisor,
+                    use_device_nms=use_device_nms,
+                    device_nms_top_k=device_nms_top_k)
+                for (idx, _), out in zip(part, outs):
+                    emit(idx, out)
+
+        if prefetch and len(tasks) > 1:
+            # decode chunk t+1 on a lookahead thread while chunk t runs
+            # forward + NMS (cv2/PIL decode releases the GIL)
+            from concurrent.futures import ThreadPoolExecutor
+            ex = ThreadPoolExecutor(max_workers=1)
+            try:
+                fut = ex.submit(load_chunk, tasks[0])
+                for t in range(len(tasks)):
+                    loaded, misfits = fut.result()
+                    if t + 1 < len(tasks):
+                        fut = ex.submit(load_chunk, tasks[t + 1])
+                    process(loaded, misfits)
+            finally:
+                ex.shutdown(wait=True)
+        else:
+            for task in tasks:
+                process(*load_chunk(task))
         if stats["misfit_solo"]:
             import logging
             logging.getLogger("yunet_tpu").warning(
