@@ -414,6 +414,13 @@ class Detector:
                     "rebuild the Detector with a lower config threshold")
             packed = np.asarray(self._batch_cache[key](
                 self.params, self.state, x))       # ONE readback
+            # cap-saturation guard: if an image's LOWEST top-k candidate
+            # is still above the compiled score threshold, candidates
+            # were truncated pre-NMS and its keep set may differ from
+            # the uncapped host path (AP caveat made observable;
+            # detect_sweep aggregates this into its stats/warning)
+            self.last_devnms_saturated = int(
+                (packed[:, -1, 4] >= self.cfg.test.score_thr).sum())
             results = []
             for i, det_scale in enumerate(scales):
                 keep = packed[i, :, 5] > 0.5
@@ -494,7 +501,7 @@ class Detector:
 
         results: dict = {}
         stats = {"images": len(entries), "misfit_solo": 0, "batches": 0,
-                 "padded_slots": 0}
+                 "padded_slots": 0, "devnms_saturated": 0}
 
         def emit(idx, res):
             results[idx] = res
@@ -537,6 +544,8 @@ class Detector:
                     score_thr=score_thr, pad_divisor=pad_divisor,
                     use_device_nms=use_device_nms,
                     device_nms_top_k=device_nms_top_k)
+                if use_device_nms:
+                    stats["devnms_saturated"] += self.last_devnms_saturated
                 for (idx, _), out in zip(part, outs):
                     emit(idx, out)
 
@@ -562,6 +571,15 @@ class Detector:
             logging.getLogger("yunet_tpu").warning(
                 "detect_sweep: %d/%d images had stale size hints and ran "
                 "solo (batch-1)", stats["misfit_solo"], stats["images"])
+        if stats["devnms_saturated"]:
+            import logging
+            logging.getLogger("yunet_tpu").warning(
+                "detect_sweep: %d/%d images saturated the device-NMS "
+                "pre-NMS cap (device_nms_top_k=%d) — their keep sets "
+                "may differ from uncapped host NMS; raise the cap or "
+                "use host NMS for protocol-exact AP",
+                stats["devnms_saturated"], stats["images"],
+                device_nms_top_k)
         self.last_sweep_stats = stats
         return [results[i] for i in range(len(results))]
 
