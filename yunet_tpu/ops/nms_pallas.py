@@ -1,14 +1,24 @@
-"""Greedy NMS as a single Pallas TPU kernel.
+"""Greedy NMS as a single Pallas TPU kernel — per-image and whole-batch.
 
 The lax.fori_loop NMS in ops/nms.py pays per-iteration XLA while-loop
-overhead (~5ms for 750 candidates on v5e). Here the entire sequential
-suppression runs inside one kernel: candidate boxes live in VMEM as four
-(1, K) coordinate rows, and each of the K steps does one VPU-wide IoU
-against all candidates — no kernel-launch or loop overhead between steps.
+overhead (~5ms for 750 candidates on v5e). ``pallas_nms`` runs the
+entire sequential suppression inside one kernel: candidate boxes live in
+VMEM as four (1, K) coordinate rows, and each of the K steps does one
+VPU-wide IoU against all candidates — no kernel-launch or loop overhead
+between steps (~0.03 ms / 750 candidates).
 
-Semantics identical to ops/nms.device_nms (and mmcv's C++ nms): candidates
-pre-sorted by score descending; box i survives iff no earlier surviving box
-overlaps it with IoU > thr.
+For BATCHED serving use ``pallas_nms_batched``: jax.vmap of a
+pallas_call lowers to a sequential grid over the batch (v5e has one
+TensorCore), so batch-16 serving paid 16 consecutive kernel runs —
+54% of the serve program's device time. The batched kernel instead
+places the batch on the SUBLANE dimension and runs the serial loop
+once, suppressing across all B images per step on (B, K) registers
+(1.431 ms -> 0.084 ms at b16/K=512; measured via
+tools/misc/profile_serve.py).
+
+Semantics identical to ops/nms.device_nms (and mmcv's C++ nms):
+candidates pre-sorted by score descending; box i survives iff no
+earlier surviving box overlaps it with IoU > thr.
 """
 
 from __future__ import annotations
