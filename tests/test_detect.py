@@ -422,35 +422,48 @@ def test_detect_sweep_prefetch_matches_sync(yunet_n_pth):
         np.testing.assert_array_equal(r["kps"], g["kps"])
 
 
-def test_detect_sweep_devnms_saturation_counter(yunet_n_pth, caplog):
+def test_detect_sweep_devnms_saturation_counter(yunet_n_pth):
     """A tiny device_nms_top_k that truncates pre-NMS candidates must be
-    counted in sweep stats and warned about; a generous cap must not."""
+    counted in sweep stats and warned about; a generous cap must not.
+
+    The warning is captured via a directly-attached handler — an earlier
+    test may configure the 'yunet_tpu' logger with propagate=False,
+    which makes caplog miss it (order-dependent flake)."""
     import dataclasses
     import logging
     from yunet_tpu.config import yunet_n
     from yunet_tpu.eval import Detector
     from yunet_tpu.utils import load_pth_params
 
-    cfg = yunet_n()
-    cfg = dataclasses.replace(cfg, test=dataclasses.replace(
-        cfg.test, score_thr=0.001))
-    params, state = load_pth_params(yunet_n_pth)
-    det = Detector(cfg, params, state)
-    imgs = [_img(60, 100, seed=90 + i) for i in range(2)]
-    entries = [((lambda i=img: i), (60, 100)) for img in imgs]
+    records = []
 
-    # image 0 has 3 candidates above thr on this fixture, image 1 none:
-    # a cap of 2 truncates exactly image 0
-    with caplog.at_level(logging.WARNING, logger="yunet_tpu"):
+    class Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = logging.getLogger("yunet_tpu")
+    handler = Grab(level=logging.WARNING)
+    logger.addHandler(handler)
+    try:
+        cfg = yunet_n()
+        cfg = dataclasses.replace(cfg, test=dataclasses.replace(
+            cfg.test, score_thr=0.001))
+        params, state = load_pth_params(yunet_n_pth)
+        det = Detector(cfg, params, state)
+        imgs = [_img(60, 100, seed=90 + i) for i in range(2)]
+        entries = [((lambda i=img: i), (60, 100)) for img in imgs]
+
+        # image 0 has 3 candidates above thr on this fixture, image 1
+        # none: a cap of 2 truncates exactly image 0
         det.detect_sweep(entries, (96, 64), use_device_nms=True,
                          device_nms_top_k=2)
-    assert det.last_sweep_stats["devnms_saturated"] == 1
-    assert any("saturated the device-NMS" in r.getMessage()
-               for r in caplog.records)
+        assert det.last_sweep_stats["devnms_saturated"] == 1
+        assert any("saturated the device-NMS" in m for m in records)
 
-    caplog.clear()
-    with caplog.at_level(logging.WARNING, logger="yunet_tpu"):
+        records.clear()
         det.detect_sweep(entries, (96, 64), use_device_nms=True,
                          device_nms_top_k=750)
-    assert det.last_sweep_stats["devnms_saturated"] == 0
-    assert not caplog.records
+        assert det.last_sweep_stats["devnms_saturated"] == 0
+        assert not any("saturated" in m for m in records)
+    finally:
+        logger.removeHandler(handler)

@@ -121,6 +121,9 @@ class Detector:
         # optional device mesh: detect_batch shards batch rows over it
         # (data-parallel eval — the multi_gpu_test role)
         self.mesh = None
+        # images whose device-NMS pre-NMS cap was saturated in the last
+        # detect_batch(use_device_nms=True) call (see that docstring)
+        self.last_devnms_saturated = 0
 
     # -- jitted programs ----------------------------------------------------
     def _raw_fn(self, h: int, w: int):
