@@ -8,7 +8,7 @@ paths do the same work per image: full forward + score fusion + decode +
 NMS.
 
 Prints ONE JSON line. The HEADLINE value is the MEDIAN batched-serving
-throughput (batch 16, BN-folded trunk + vmapped on-device Pallas NMS in
+throughput (batch 16, BN-folded trunk + whole-batch on-device Pallas NMS in
 one compiled program) — batching is how a TPU serves. vs_baseline
 divides that by the reference's single-image CPU FPS, so it is a
 throughput-vs-published-FPS ratio ACROSS batch regimes; the
@@ -88,8 +88,8 @@ def _load(cfg, path):
 
 
 def _serve_fn(cfg, model, det):
-    """Batched serving program: folded trunk + decode + vmapped Pallas
-    NMS in ONE compiled program."""
+    """Batched serving program: folded trunk + decode + whole-batch
+    Pallas NMS (batch on sublanes) in ONE compiled program."""
     import jax
     import jax.numpy as jnp
     from yunet_tpu.models.fused import fused_forward
@@ -248,18 +248,23 @@ def _arm_watchdog(extra, errors, fps_box, deadline_s):
 
     def watch():
         time.sleep(deadline_s)
-        errors["watchdog"] = (f"bench exceeded {deadline_s}s — device "
-                              "tunnel presumed hung; partial record")
-        extra["errors"] = {k: v.splitlines()[-1] if "\n" in v else v
-                           for k, v in errors.items()}
-        print(json.dumps({
-            "metric": "serve_fps_320x320_b16_yunet_n",
-            "value": round(fps_box[0], 2),
-            "unit": "img/s",
-            "vs_baseline": round(fps_box[0] / BASELINE_FPS, 3),
-            "extra": extra,
-        }), flush=True)
-        os._exit(3)
+        try:
+            # snapshot: the main thread mutates these dicts concurrently
+            errs = dict(errors)
+            errs["watchdog"] = (f"bench exceeded {deadline_s}s — device "
+                               "tunnel presumed hung; partial record")
+            out = dict(extra)
+            out["errors"] = {k: v.splitlines()[-1] if "\n" in v else v
+                             for k, v in errs.items()}
+            print(json.dumps({
+                "metric": "serve_fps_320x320_b16_yunet_n",
+                "value": round(fps_box[0], 2),
+                "unit": "img/s",
+                "vs_baseline": round(fps_box[0] / BASELINE_FPS, 3),
+                "extra": out,
+            }, default=str), flush=True)
+        finally:
+            os._exit(3)   # must fire even if the record line failed
 
     threading.Thread(target=watch, daemon=True).start()
 

@@ -2,7 +2,7 @@
 """Profile the batched serving program (the bench.py headline path).
 
 Builds the exact `bench.py:_serve_fn` program — folded-BN trunk +
-decode + vmapped Pallas NMS in one compiled program at 320² — traces a
+decode + whole-batch Pallas NMS in one compiled program at 320² — traces a
 few dispatches, and prints the per-category / per-op device table so
 the serving roofline is measured, not asserted (the train step got this
 treatment in round 3; this is the serving side).
@@ -59,7 +59,11 @@ def main(argv=None):
             out = serve(xs[i % 4])
         bench._sync(out)
 
-    tot, cnt = aggregate_trace(args.out)
+    try:
+        tot, cnt = aggregate_trace(args.out)
+    except FileNotFoundError as e:
+        print(e)
+        return
     report(maps, tot, cnt, args.iters, args.top)
     total_us = sum(tot.values())
     ms = total_us / args.iters / 1e3

@@ -89,7 +89,11 @@ def main(argv=None):
             ts, m = step(ts, batch)
         jax.block_until_ready(m["loss"])
 
-    tot, cnt = aggregate_trace(args.out)
+    try:
+        tot, cnt = aggregate_trace(args.out)
+    except FileNotFoundError as e:
+        print(e)
+        return
     report(maps, tot, cnt, args.steps, args.top)
 
 

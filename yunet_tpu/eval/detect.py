@@ -378,10 +378,17 @@ class Detector:
                     boxes, scores, top_k=device_nms_top_k,
                     iou_thr=self.cfg.test.nms_iou_thr,
                     score_thr=self.cfg.test.score_thr)
+                # candidates above the compiled threshold, for exact
+                # cap-truncation detection on the host (n_above > K)
+                n_above = jnp.sum(
+                    (scores >= self.cfg.test.score_thr).astype(
+                        jnp.float32), axis=1)
+                meta = jnp.broadcast_to(n_above[:, None, None],
+                                        (*keep.shape, 1))
                 return jnp.concatenate(
                     [dets, keep[..., None].astype(dets.dtype),
-                     jnp.take_along_axis(kps, idx[..., None], axis=1)],
-                    axis=-1)                      # (B, K, 6 + 2*kps)
+                     jnp.take_along_axis(kps, idx[..., None], axis=1),
+                     meta], axis=-1)              # (B, K, 7 + 2*kps)
 
             if not use_device_nms:
                 fn = jax.jit(raw)
@@ -417,20 +424,21 @@ class Detector:
                     "rebuild the Detector with a lower config threshold")
             packed = np.asarray(self._batch_cache[key](
                 self.params, self.state, x))       # ONE readback
-            # cap-saturation guard: if an image's LOWEST top-k candidate
-            # is still above the compiled score threshold, candidates
-            # were truncated pre-NMS and its keep set may differ from
-            # the uncapped host path (AP caveat made observable;
+            # cap-truncation guard: an image whose candidate count above
+            # the compiled threshold EXCEEDS the top-k cap had candidates
+            # dropped pre-NMS, so its keep set may differ from the
+            # uncapped host path (AP caveat made observable;
             # detect_sweep aggregates this into its stats/warning)
+            k_cap = packed.shape[1]
             self.last_devnms_saturated = int(
-                (packed[:, -1, 4] >= self.cfg.test.score_thr).sum())
+                (packed[:, 0, -1] > k_cap).sum())
             results = []
             for i, det_scale in enumerate(scales):
                 keep = packed[i, :, 5] > 0.5
                 if score_thr > self.cfg.test.score_thr:
                     keep &= packed[i, :, 4] >= score_thr
                 sel = packed[i, keep, :5].copy()
-                ksel = packed[i, keep, 6:].copy()
+                ksel = packed[i, keep, 6:-1].copy()
                 if det_scale != 1.0:
                     sel[:, :4] /= det_scale
                     ksel /= det_scale
@@ -528,9 +536,16 @@ class Detector:
         def process(loaded, misfits):
             for idx, img in misfits:   # hint was wrong: run solo
                 stats["misfit_solo"] += 1
+                # keep the NMS backend uniform across the sweep: the
+                # solo fallback honors use_device_nms with the same
+                # per-image cap (detect() maps max_dets to top_k)
                 emit(idx, self.detect(img, mode=mode,
                                       score_thr=score_thr,
-                                      pad_divisor=pad_divisor))
+                                      pad_divisor=pad_divisor,
+                                      use_device_nms=use_device_nms,
+                                      max_dets=(device_nms_top_k
+                                                if use_device_nms
+                                                else None)))
             # a partial chunk runs as remainder-ladder sub-batches
             # (17 -> 16 + 1) instead of padding up with duplicated
             # images — no wasted forward or host-NMS work, and only
