@@ -467,3 +467,33 @@ def test_detect_sweep_devnms_saturation_counter(yunet_n_pth):
         assert not any("saturated" in m for m in records)
     finally:
         logger.removeHandler(handler)
+
+
+def test_fused_forward_stem_s2d_parity(yunet_n_pth):
+    """The space-to-depth stem (2x2/s1 conv over 2x2-block channels)
+    must equal the plain 3x3/s2 stem through the FULL fused forward —
+    same taps, different summation order (f32 tolerance only)."""
+    import jax
+    import jax.numpy as jnp
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.eval import Detector
+    from yunet_tpu.models.fused import fused_forward
+    from yunet_tpu.models.head import flatten_level_outputs
+    from yunet_tpu.utils import load_pth_params
+
+    cfg = yunet_n()
+    params, state = load_pth_params(yunet_n_pth)
+    det = Detector(cfg, params, state, fused=True)
+    x = jnp.asarray(np.random.RandomState(3).randint(
+        0, 256, (2, 64, 96, 3)).astype(np.float32))
+
+    outs = {}
+    for s2d in (False, True):
+        flat = flatten_level_outputs(jax.jit(
+            lambda x, s=s2d: fused_forward(det._folded, x, cfg.model,
+                                           use_pallas=False, stem_s2d=s)
+        )(x))
+        outs[s2d] = {k: np.asarray(v) for k, v in flat.items()}
+    for k in outs[False]:
+        np.testing.assert_allclose(outs[True][k], outs[False][k],
+                                   rtol=1e-4, atol=1e-4, err_msg=k)

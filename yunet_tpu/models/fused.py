@@ -71,6 +71,56 @@ def fold_inference_params(params, state, cfg: ModelConfig):
     return out
 
 
+def _s2d_stem_weights(w) -> "np.ndarray":
+    """(3,3,C,O) stride-2 weights -> (2,2,4C,O) space-to-depth form.
+
+    Output pixel (i,j) of the 3x3/s2 conv reads input rows 2i-1..2i+1;
+    in 2x2-block space that is block rows i-1 (phase p=1) and i (p=0,1),
+    i.e. a 2x2 kernel over blocks with per-phase taps
+    ``dy = 2*bi + p - 1`` (the (bi=0, p=0) phase falls outside the 3x3
+    support and stays zero). Same for columns. Channel order of the
+    s2d input is (p, q, c) = p*2C + q*C + c.
+    """
+    import numpy as np
+    w = np.asarray(w)
+    c, o = w.shape[2], w.shape[3]
+    w2 = np.zeros((2, 2, 4 * c, o), w.dtype)
+    for bi in range(2):
+        for p in range(2):
+            dy = 2 * bi + p - 1
+            if not 0 <= dy <= 2:
+                continue
+            for bj in range(2):
+                for q in range(2):
+                    dx = 2 * bj + q - 1
+                    if not 0 <= dx <= 2:
+                        continue
+                    w2[bi, bj, p * 2 * c + q * c:
+                       p * 2 * c + (q + 1) * c] = w[dy, dx]
+    return w2
+
+
+def _stem_s2d(x: jnp.ndarray, w, b) -> jnp.ndarray:
+    """The stem 3x3/s2 conv+bias+relu computed in space-to-depth form:
+    (B,H,W,C) -> 2x2 blocks (B,H/2,W/2,4C) -> equivalent 2x2/s1 conv.
+
+    Mathematically identical taps (zeros where the support falls
+    outside), summed in a different order — parity-tested in
+    tests/test_detect.py. Motivation: the plain 3-channel stem fills
+    3/128 conv input lanes and ran at ~57 GB/s in the serve profile;
+    the s2d form quadruples the channel dim and halves the spatial
+    extent of the input relayout.
+    """
+    n, h, ww, c = x.shape
+    xx = x.reshape(n, h // 2, 2, ww // 2, 2, c)
+    xx = xx.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, ww // 2, 4 * c)
+    w2 = jnp.asarray(_s2d_stem_weights(w)).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        xx, w2, (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jnp.maximum(y + jnp.asarray(b).astype(y.dtype), 0)
+
+
 def _unit(u, x, use_pallas: bool = True):
     if use_pallas:
         return fused_conv_dp(x, jnp.asarray(u["w1"]), jnp.asarray(u["b1"]),
@@ -84,7 +134,7 @@ def _unit(u, x, use_pallas: bool = True):
 
 
 def fused_forward(folded, x: jnp.ndarray, cfg: ModelConfig, *,
-                  use_pallas: bool = True
+                  use_pallas: bool = True, stem_s2d: bool = False
                   ) -> Dict[str, List[jnp.ndarray]]:
     """x: (N, H, W, 3) raw BGR float. Returns per-level NHWC maps.
 
@@ -97,10 +147,13 @@ def fused_forward(folded, x: jnp.ndarray, cfg: ModelConfig, *,
     depthwise runs on the MXU, which the stencil kernel cannot match).
     """
     bb = folded["backbone"]
-    y = jax.lax.conv_general_dilated(
-        x, bb["stem_conv"]["w"].astype(x.dtype), (2, 2),
-        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    y = jnp.maximum(y + bb["stem_conv"]["b"].astype(y.dtype), 0)
+    if stem_s2d:
+        y = _stem_s2d(x, bb["stem_conv"]["w"], bb["stem_conv"]["b"])
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, bb["stem_conv"]["w"].astype(x.dtype), (2, 2),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = jnp.maximum(y + bb["stem_conv"]["b"].astype(y.dtype), 0)
     y = _unit(bb["stem_dp"], y, use_pallas)
     feats: List[jnp.ndarray] = []
     for i in range(len(cfg.stage_channels)):
