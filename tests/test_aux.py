@@ -194,3 +194,20 @@ def test_small_tool_mains_smoke(yunet_n_pth, tmp_path, capsys):
                     "--no-summary"])
     src = dst.read_text()
     assert "ConvInfoStruct" in src and "float" in src
+
+
+def test_profile_serve_cli_smoke(yunet_n_pth, tmp_path, capsys):
+    """tools/misc/profile_serve.py end-to-end on CPU: builds the serve
+    program, parses its HLO, traces a dispatch, prints the category
+    table (interpret-mode Pallas; tiny batch to keep it fast)."""
+    import sys, os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools", "misc"))
+    sys.path.insert(0, root)
+
+    import profile_serve
+    profile_serve.main(["--batch", "2", "--iters", "1",
+                        "--out", str(tmp_path / "trace")])
+    out = capsys.readouterr().out
+    assert "by category" in out or "no trace found" in out
+    assert "device total" in out or "no trace found" in out
