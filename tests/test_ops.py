@@ -218,3 +218,34 @@ def test_pallas_nms_batched_matches_per_image(bsz, n, top_k):
         np.testing.assert_array_equal(np.asarray(ib)[b], np.asarray(i1))
         np.testing.assert_allclose(np.asarray(db)[b], np.asarray(d1),
                                    rtol=1e-6)
+
+
+def test_pallas_nms_dynamic_trip_count_sparse_scores():
+    """Mostly-below-threshold scores (the real serving regime) must give
+    identical keeps through both Pallas kernels and the lax reference —
+    exercises the dynamic loop bound (trip count = valid count, not
+    top_k) including the all-invalid image."""
+    from yunet_tpu.ops.nms_pallas import pallas_nms, pallas_nms_batched
+    rng = np.random.RandomState(77)
+    bsz, n = 4, 400
+    boxes = np.stack([_random_boxes(n, 200 + i) for i in range(bsz)])
+    scores = rng.uniform(0, 0.003, (bsz, n)).astype(np.float32)
+    # image 0: 12 real candidates; image 1: 1; image 2: 0; image 3: 60
+    for b, cnt in ((0, 12), (1, 1), (2, 0), (3, 60)):
+        scores[b, rng.choice(n, cnt, replace=False)] = rng.uniform(
+            0.1, 1.0, cnt)
+
+    db, kb, ib = pallas_nms_batched(
+        jnp.asarray(boxes), jnp.asarray(scores), top_k=256,
+        iou_thr=0.45, score_thr=0.02)
+    assert np.asarray(kb)[2].sum() == 0
+    for b in range(bsz):
+        d1, k1, i1 = pallas_nms(
+            jnp.asarray(boxes[b]), jnp.asarray(scores[b]), top_k=256,
+            iou_thr=0.45, score_thr=0.02)
+        d0, k0, i0 = device_nms(
+            jnp.asarray(boxes[b]), jnp.asarray(scores[b]), top_k=256,
+            iou_thr=0.45, score_thr=0.02)
+        np.testing.assert_array_equal(np.asarray(kb)[b], np.asarray(k1))
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k0))
+        np.testing.assert_array_equal(np.asarray(ib)[b], np.asarray(i1))

@@ -37,7 +37,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _nms_kernel(iou_thr: float, k: int, boxes_ref, valid_ref, keep_ref):
+def _nms_kernel(iou_thr: float, k: int, n_ref, boxes_ref, valid_ref,
+                keep_ref):
     x1 = boxes_ref[0:1, :]
     y1 = boxes_ref[1:2, :]
     x2 = boxes_ref[2:3, :]
@@ -62,13 +63,20 @@ def _nms_kernel(iou_thr: float, k: int, boxes_ref, valid_ref, keep_ref):
         hit = jnp.where((iou > iou_thr) & (col > i), alive_i, 0.0)
         return jnp.maximum(suppressed, hit)
 
+    # dynamic trip count (SMEM scalar, computed by the caller):
+    # candidates are score-sorted, so every below-threshold box sits
+    # AFTER every valid one and can only suppress other below-threshold
+    # boxes (which the valid mask zeroes anyway) — looping past the
+    # valid count is pure waste. At serving thresholds the real
+    # candidate count is typically a small fraction of top_k.
     suppressed = jax.lax.fori_loop(
-        0, k, body, jnp.zeros(x1.shape, jnp.float32))
+        0, n_ref[0, 0], body, jnp.zeros(x1.shape, jnp.float32))
     keep_ref[:, :] = jnp.where(valid_ref[:, :] > 0.0,
                                1.0 - suppressed, 0.0)
 
 
-def _nms_batched_kernel(iou_thr: float, k: int, boxes_ref, keep_ref):
+def _nms_batched_kernel(iou_thr: float, k: int, n_ref, boxes_ref,
+                        keep_ref):
     """Whole-batch greedy NMS in one kernel invocation.
 
     vmap of the per-image kernel lowers to a sequential grid over the
@@ -85,6 +93,13 @@ def _nms_batched_kernel(iou_thr: float, k: int, boxes_ref, keep_ref):
 
     Exact greedy semantics (mmcv C++ nms order): identical keep set to
     the per-image kernel; cross-tested in tests/test_ops.py.
+
+    The serial loop stops at the LARGEST per-image count of candidates
+    above the score threshold (SMEM scalar from the caller): sorted
+    order puts every below-threshold box after every valid one, so it
+    can only suppress other below-threshold boxes — which the caller's
+    valid mask zeroes regardless. At serving thresholds this cuts the
+    trip count from top_k to the real (usually small) candidate count.
     """
     x1, y1, x2, y2 = (boxes_ref[i] for i in range(4))    # (B, KP)
     area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
@@ -106,7 +121,7 @@ def _nms_batched_kernel(iou_thr: float, k: int, boxes_ref, keep_ref):
         return jnp.maximum(suppressed, hit)
 
     suppressed = jax.lax.fori_loop(
-        0, k, body, jnp.zeros(x1.shape, jnp.float32))
+        0, n_ref[0, 0], body, jnp.zeros(x1.shape, jnp.float32))
     keep_ref[:, :] = 1.0 - suppressed
 
 
@@ -131,14 +146,18 @@ def pallas_nms_batched(boxes: jnp.ndarray, scores: jnp.ndarray, *,
 
     rows = jnp.zeros((4, bp, kp), jnp.float32)
     rows = rows.at[:, :bsz, :k].set(jnp.moveaxis(top_boxes, -1, 0))
+    n_max = jnp.max(jnp.sum(
+        (top_scores >= score_thr).astype(jnp.int32), axis=1))
+    n_max = jnp.minimum(n_max, k).reshape(1, 1)
 
     keep = pl.pallas_call(
         functools.partial(_nms_batched_kernel, float(iou_thr), k),
         out_shape=jax.ShapeDtypeStruct((bp, kp), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
-    )(rows)
+    )(n_max, rows)
 
     keep_k = (keep[:bsz, :k] > 0.5) & (top_scores >= score_thr)
     dets = jnp.concatenate([top_boxes, top_scores[..., None]], axis=-1)
@@ -166,14 +185,18 @@ def pallas_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *, top_k: int,
         [(top_scores >= score_thr).astype(jnp.float32),
          jnp.zeros((pad,), jnp.float32)])[None, :]               # (1, kp)
 
+    n = jnp.minimum(
+        jnp.sum((top_scores >= score_thr).astype(jnp.int32)),
+        k).reshape(1, 1)
     keep = pl.pallas_call(
         functools.partial(_nms_kernel, float(iou_thr), k),
         out_shape=jax.ShapeDtypeStruct((1, kp), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
-    )(boxes_rows, valid_row)
+    )(n, boxes_rows, valid_row)
 
     dets = jnp.concatenate([top_boxes, top_scores[:, None]], axis=-1)
     return dets, keep[0, :k] > 0.5, idx
