@@ -135,3 +135,39 @@ def test_time_engine_report():
         pass
     rep = te.report(1)
     assert "preprocess" in rep and "total" in rep and "FPS" in rep
+
+
+def test_tflite_engine_matches_onnx_engine(yunet_n_pth, tmp_path):
+    """tflite:<path> engine == onnx:<path> engine on the same weights and
+    input size. Both route through the identical independent numpy decode
+    (numpy_decode_yunet), so any detection gap is forward drift in one of
+    the two exporters — the engine-level version of the tensor parity
+    gates in tests/test_export.py."""
+    import pytest
+    pytest.importorskip("tensorflow")
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.export.onnx_export import export_onnx
+    from yunet_tpu.export.tflite_export import export_tflite
+    from yunet_tpu.utils import load_pth_params
+
+    cfg = yunet_n()
+    params, state = load_pth_params(yunet_n_pth)
+    onnx_p = tmp_path / "m.onnx"
+    tfl_p = tmp_path / "m.tflite"
+    onnx_p.write_bytes(
+        export_onnx(params, state, cfg.model, input_shape=(96, 128)))
+    tfl_p.write_bytes(
+        export_tflite(params, state, cfg.model, input_shape=(96, 128)))
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (120, 160, 3)).astype(np.uint8)
+    # tiny score_thr so noise input still yields a populated keep set
+    e_on = ci.build_engine(f"onnx:{onnx_p}", score_thr=1e-4)
+    e_tf = ci.build_engine(f"tflite:{tfl_p}", score_thr=1e-4)
+    d0, k0 = e_on.detect(img)
+    d1, k1 = e_tf.detect(img)
+    assert len(d0) > 0 and d0.shape == d1.shape
+    np.testing.assert_allclose(d1, d0, rtol=1e-3, atol=5e-2)
+    np.testing.assert_allclose(k1, k0, rtol=1e-3, atol=5e-2)
+    assert e_tf.hw == (96, 128)
+    assert "forward_run" in e_tf.times.report(1)

@@ -11,6 +11,8 @@ Engines:
   scrfd:<path>                 — SCRFD ONNX (distance2bbox/kps decode)
   retinaface:<path>            — RetinaFace ONNX (prior-box + variances)
   yolo5face:<path>             — YOLO5Face ONNX (xywh + landmark rows)
+  tflite:<path>                — YuNet-contract .tflite (yunet2tflite.py
+                                 artifact) via tf.lite.Interpreter
 
 Modes mirror the reference resize_img (:127-160): "W,H" letterbox,
 "VGA", "ORIGIN", "AUTO" (pad to /32).
@@ -338,6 +340,40 @@ class OnnxEngine(BaseEngine):
         return dets, kps
 
 
+class TfliteEngine(BaseEngine):
+    """Our exported .tflite artifact (export/tflite_export.py): NCHW
+    float32 input, the twelve named (B,HW,C) YuNet-contract outputs with
+    sigmoid baked in — decoded through the same independent numpy path
+    as the ONNX engine, so a `--eval` run is an AP-level drift gate for
+    the TFLite export too."""
+
+    def __init__(self, path, score_thr=0.02, nms_thr=0.45):
+        super().__init__()
+        import tensorflow as tf
+        self.interp = tf.lite.Interpreter(model_path=path)
+        self.runner = self.interp.get_signature_runner()
+        s = self.interp.get_input_details()[0]["shape"]   # (1, 3, H, W)
+        self.hw = (int(s[2]), int(s[3]))
+        self.score_thr = score_thr
+        self.nms_thr = nms_thr
+
+    def detect(self, img_bgr, mode=None):
+        with self.times("preprocess"):
+            h, w = self.hw
+            det_img, s = resize_img(img_bgr, f"{w},{h}")
+            x = np.transpose(det_img.astype(np.float32), (2, 0, 1))[None]
+        with self.times("forward_run"):
+            outs = self.runner(input=x)
+        with self.times("postprocess"):
+            dets, kps = numpy_decode_yunet(outs, (h, w), self.score_thr,
+                                           self.nms_thr)
+            dets[:, 0:4:2] /= s
+            dets[:, 1:4:2] /= s
+            kps[:, 0::2] /= s
+            kps[:, 1::2] /= s
+        return dets, kps
+
+
 class JaxEngine(BaseEngine):
     def __init__(self, config, ckpt, score_thr=None):
         super().__init__()
@@ -454,7 +490,8 @@ def build_engine(spec, score_thr=0.02, nms_thr=0.45):
         return JaxEngine(config, ckpt, score_thr=score_thr)
     cls = {"onnx": OnnxEngine, "scrfd": ScrfdEngine,
            "retinaface": RetinaFaceEngine,
-           "yolo5face": Yolo5FaceEngine}.get(kind)
+           "yolo5face": Yolo5FaceEngine,
+           "tflite": TfliteEngine}.get(kind)
     if cls is None:
         raise SystemExit(f"unknown engine spec {spec}")
     return cls(rest, score_thr=score_thr, nms_thr=nms_thr)
