@@ -314,3 +314,40 @@ def test_yunet2onnx_cli_smoke(yunet_n_pth, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert out.exists() and out.stat().st_size > 100_000
     assert "verify" in printed.lower() or "ok" in printed.lower()
+
+
+def test_tflite_int8_quantized_export(yunet_n_pth):
+    """Full-integer PTQ export: converts, keeps the float32 I/O
+    contract, and its outputs track the float model (correlation gate —
+    int8 activations cannot meet the float parity tolerances). The
+    reference's converter is float-only (tools/yunet2tflite.py:87-94
+    only points at TinyNN quantization examples); this is a deployment
+    capability beyond it."""
+    pytest.importorskip("tensorflow")
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from make_synth_wider import make_image
+    from yunet_tpu.export.tflite_export import export_tflite, run_tflite
+
+    cfg = yunet_n()
+    model = YuNet(cfg.model)
+    params, state = load_pth_params(yunet_n_pth)
+    rng = np.random.RandomState(11)
+    reps = [np.transpose(make_image(rng, 128, 96)[0].astype(np.float32),
+                         (2, 0, 1))[None] for _ in range(8)]
+    blob = export_tflite(params, state, cfg.model, input_shape=(96, 128),
+                         quantize="int8", rep_images=reps)
+    face, _, _ = make_image(rng, 128, 96)
+    img = np.transpose(face.astype(np.float32), (2, 0, 1))[None]
+    got = run_tflite(blob, img)
+    want = _flat_ref_outputs(model, params, state,
+                             np.transpose(img, (0, 2, 3, 1)))
+    assert set(got) == set(want)
+    for key in ("cls", "obj", "bbox", "kps"):
+        a = np.concatenate([got[k].ravel() for k in sorted(got)
+                            if k.startswith(key)])
+        b = np.concatenate([want[k].ravel() for k in sorted(want)
+                            if k.startswith(key)])
+        cc = float(np.corrcoef(a, b)[0, 1])
+        assert cc > 0.95, f"{key}: corr {cc:.4f}"

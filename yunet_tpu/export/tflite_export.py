@@ -110,8 +110,25 @@ def _forward_tf(tf, params, state, cfg: ModelConfig, x):
 
 
 def export_tflite(params, state, cfg: ModelConfig, *,
-                  input_shape: Tuple[int, int] = (256, 320)) -> bytes:
-    """Build the .tflite flatbuffer bytes. input_shape is (H, W)."""
+                  input_shape: Tuple[int, int] = (256, 320),
+                  quantize: str = "none",
+                  rep_images=None) -> bytes:
+    """Build the .tflite flatbuffer bytes. input_shape is (H, W).
+
+    quantize:
+      "none"    — float32 weights/activations (reference parity; the
+                  reference's TinyNN path is float-only,
+                  tools/yunet2tflite.py:87-94 only *points* at
+                  quantization examples).
+      "dynamic" — dynamic-range PTQ: int8 weights, float activations
+                  (~4x smaller file, no calibration needed).
+      "int8"    — full-integer PTQ: int8 weights AND activations,
+                  calibrated on ``rep_images`` — an iterable of
+                  (1, 3, H, W) float32 raw-BGR arrays (>= ~20
+                  recommended). I/O stays float32 so the deployment
+                  contract is unchanged; quant/dequant sit at the graph
+                  boundary.
+    """
     import tensorflow as tf
 
     h, w = input_shape
@@ -132,6 +149,20 @@ def export_tflite(params, state, cfg: ModelConfig, *,
         tf.saved_model.save(module, d,
                             signatures=fwd.get_concrete_function())
         converter = tf.lite.TFLiteConverter.from_saved_model(d)
+        if quantize == "dynamic":
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        elif quantize == "int8":
+            if rep_images is None:
+                raise ValueError("int8 quantization needs rep_images")
+
+            def _rep():
+                for img in rep_images:
+                    yield [np.asarray(img, np.float32).reshape(1, 3, h, w)]
+
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+            converter.representative_dataset = _rep
+        elif quantize != "none":
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         return converter.convert()
 
 
