@@ -61,11 +61,12 @@ def main(argv=None):
                    help="H W (reference default 256x320)")
     p.add_argument("--verify", action="store_true",
                    help="run the .tflite and compare against the JAX model")
-    p.add_argument("--quantize", choices=["none", "dynamic", "int8"],
+    p.add_argument("--quantize",
+                   choices=["none", "fp16", "dynamic", "int8"],
                    default="none",
-                   help="post-training quantization: dynamic-range "
-                   "(int8 weights) or full-integer (int8 weights + "
-                   "activations, calibrated)")
+                   help="post-training quantization: fp16 weights, "
+                   "dynamic-range (int8 weights), or full-integer "
+                   "(int8 weights + activations, calibrated)")
     p.add_argument("--rep-images", default=None,
                    help="directory of calibration images for --quantize "
                    "int8 (default: 32 synthetic face renders)")

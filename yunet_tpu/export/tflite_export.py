@@ -122,6 +122,8 @@ def export_tflite(params, state, cfg: ModelConfig, *,
                   quantization examples).
       "dynamic" — dynamic-range PTQ: int8 weights, float activations
                   (~4x smaller file, no calibration needed).
+      "fp16"    — float16 weights, float32 compute (2x smaller, near
+                  lossless; GPU-delegate friendly).
       "int8"    — full-integer PTQ: int8 weights AND activations,
                   calibrated on ``rep_images`` — an iterable of
                   (1, 3, H, W) float32 raw-BGR arrays (>= ~20
@@ -151,6 +153,9 @@ def export_tflite(params, state, cfg: ModelConfig, *,
         converter = tf.lite.TFLiteConverter.from_saved_model(d)
         if quantize == "dynamic":
             converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        elif quantize == "fp16":
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+            converter.target_spec.supported_types = [tf.float16]
         elif quantize == "int8":
             if rep_images is None:
                 raise ValueError("int8 quantization needs rep_images")
