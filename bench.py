@@ -87,9 +87,13 @@ def _load(cfg, path):
     return model, params, state
 
 
-def _serve_fn(cfg, model, det):
+def _serve_fn(cfg, model, det, *, stem_s2d: bool = False):
     """Batched serving program: folded trunk + decode + whole-batch
-    Pallas NMS (batch on sublanes) in ONE compiled program."""
+    Pallas NMS (batch on sublanes) in ONE compiled program.
+
+    stem_s2d: compute the lane-starved 3-channel stem conv in
+    space-to-depth form (models/fused.py:_stem_s2d) — A/B via
+    tools/misc/profile_serve.py --ab-stem."""
     import jax
     import jax.numpy as jnp
     from yunet_tpu.models.fused import fused_forward
@@ -106,7 +110,7 @@ def _serve_fn(cfg, model, det):
     @jax.jit
     def serve_batch(x):
         outs = fused_forward(folded, x.astype(jnp.bfloat16), cfg.model,
-                             use_pallas=False)
+                             use_pallas=False, stem_s2d=stem_s2d)
         flat = flatten_level_outputs(outs)
         cls = flat["cls"].astype(jnp.float32)
         obj = flat["obj"][..., 0].astype(jnp.float32)

@@ -27,6 +27,12 @@ def main(argv=None):
     ap.add_argument("--config", default="yunet_n",
                     choices=["yunet_n", "yunet_s"])
     ap.add_argument("--out", default="/tmp/yunet_serve_trace")
+    ap.add_argument("--stem-s2d", action="store_true",
+                    help="trace the space-to-depth stem variant")
+    ap.add_argument("--ab-stem", action="store_true",
+                    help="interleaved wall-clock A/B: plain stem vs "
+                    "space-to-depth stem (both compiled up front; "
+                    "windows alternate to cancel tunnel drift)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -45,11 +51,32 @@ def main(argv=None):
     model, params, state = bench._load(
         cfg, bench.REF_PTH if args.config == "yunet_n" else bench.REF_PTH_S)
     det = Detector(cfg, params, state, bf16=True, fused=True)
-    serve = bench._serve_fn(cfg, model, det)
+    serve = bench._serve_fn(cfg, model, det, stem_s2d=args.stem_s2d)
 
     rng = np.random.RandomState(0)
     xs = [jnp.asarray(rng.randint(0, 256, (args.batch, 320, 320, 3))
                       .astype(np.uint8)) for _ in range(4)]
+
+    if args.ab_stem:
+        import statistics
+        import time
+        serve_b = bench._serve_fn(cfg, model, det, stem_s2d=True)
+        bench._sync(serve(xs[0]))
+        bench._sync(serve_b(xs[0]))
+        wins = {"plain": [], "s2d": []}
+        for w in range(10):
+            for name, fn in (("plain", serve), ("s2d", serve_b)):
+                t0 = time.perf_counter()
+                out = None
+                for i in range(args.iters):
+                    out = fn(xs[i % 4])
+                bench._sync(out)
+                dt = time.perf_counter() - t0
+                wins[name].append(args.batch * args.iters / dt)
+        for name, v in wins.items():
+            print(f"stem {name:<5}: median {statistics.median(v):8.1f} "
+                  f"img/s  (min {min(v):.1f}, max {max(v):.1f})")
+        return
     bench._sync(serve(xs[0]))
     maps = HloMaps(serve.lower(xs[0]).compile().as_text())
 
