@@ -63,7 +63,14 @@ def device_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *, top_k: int,
 
     suppressed0 = jnp.zeros((k,), bool)
     kept0 = jnp.zeros((k,), bool)
-    _, kept = jax.lax.fori_loop(0, k, body, (suppressed0, kept0))
+    # dynamic trip count: candidates are score-sorted, so every
+    # below-threshold box sits after every valid one and can only
+    # suppress other below-threshold boxes — which the final mask
+    # zeroes anyway (same argument as ops/nms_pallas.py). At serving
+    # thresholds this cuts the sequential while-loop from top_k steps
+    # to the real (usually small) candidate count.
+    n = jnp.sum((top_scores >= score_thr).astype(jnp.int32))
+    _, kept = jax.lax.fori_loop(0, n, body, (suppressed0, kept0))
     kept = kept & (top_scores >= score_thr)
     dets = jnp.concatenate([top_boxes, top_scores[:, None]], axis=-1)
     return dets, kept, idx
