@@ -403,11 +403,14 @@ def main():
 
         # yunet_s train step at the throughput batch
         try:
+            cfg_s2 = yunet_s()
             tcfg_s = dataclasses.replace(
-                yunet_s(), data=dataclasses.replace(
-                    yunet_s().data, img_size=640, max_gts=128))
+                cfg_s2, data=dataclasses.replace(
+                    cfg_s2.data, img_size=640, max_gts=128))
+            # independent of the yunet_s SERVING section's try-block
+            model_s2, _, _ = _load(cfg_s2, REF_PTH_S)
             batch = _train_batch(rng, 128, 128)
-            sps = _train_step_rate(tcfg_s, model_s, 128, batch)
+            sps = _train_step_rate(tcfg_s, model_s2, 128, batch)
             extra["train_640_b128_yunet_s_imgs_per_s"] = round(
                 sps * 128, 1)
         except Exception:
