@@ -240,18 +240,32 @@ def _sustained_rate(cfg_n, steps=40, warm=8):
         loader.close()
 
 
-def _arm_watchdog(extra, errors, fps_box, deadline_s):
+def _arm_watchdog(extra, errors, fps_box, deadline_s, alive,
+                  first_op_deadline_s):
     """Emit the JSON line and hard-exit if the bench wedges.
 
     The axon tunnel can die mid-session (observed round 3): jax calls
     then HANG rather than raise, which would leave the driver with no
     BENCH record at all. A daemon thread guarantees a (partial) JSON
-    line with whatever sections completed.
+    line with whatever sections completed. A dead-from-the-start tunnel
+    is detected much earlier: if the FIRST device op hasn't completed
+    within ``first_op_deadline_s`` (compile of the b1 program is ~3s
+    warm-cache, minutes cold — nowhere near this), the record is
+    emitted immediately instead of sitting out the full deadline.
     """
     import threading
 
     def watch():
-        time.sleep(deadline_s)
+        waited = 0.0
+        while waited < deadline_s:
+            time.sleep(30.0)
+            waited += 30.0
+            if waited >= first_op_deadline_s and not alive[0]:
+                errors.setdefault(
+                    "device_dead",
+                    f"first device op incomplete after {int(waited)}s — "
+                    "tunnel presumed down from the start")
+                break
         try:
             # snapshot: the main thread mutates these dicts concurrently
             errs = dict(errors)
@@ -277,15 +291,25 @@ def main():
     extra = {}
     errors = {}
     fps_box = [0.0]
+    alive = [False]
     _arm_watchdog(extra, errors, fps_box,
                   deadline_s=int(os.environ.get("YUNET_BENCH_DEADLINE_S",
-                                                5400)))
+                                                5400)),
+                  alive=alive,
+                  first_op_deadline_s=int(os.environ.get(
+                      "YUNET_BENCH_FIRST_OP_DEADLINE_S", 1500)))
 
     import jax  # noqa: F401
     import numpy as np
 
     from yunet_tpu.utils.env import enable_compilation_cache
     enable_compilation_cache()
+
+    # explicit device round-trip probe: once this readback completes the
+    # tunnel is known alive and only the long watchdog fuse remains
+    import jax.numpy as _jnp
+    np.asarray(_jnp.zeros((), _jnp.float32) + 1.0)
+    alive[0] = True
 
     from yunet_tpu.config import yunet_n, yunet_s
     from yunet_tpu.eval.detect import Detector

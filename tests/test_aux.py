@@ -211,3 +211,42 @@ def test_profile_serve_cli_smoke(yunet_n_pth, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "by category" in out or "no trace found" in out
     assert "device total" in out or "no trace found" in out
+
+
+@pytest.mark.slow
+def test_bench_watchdog_early_trigger_and_suppression():
+    """The bench watchdog guarantees a BENCH record: if the first device
+    op never completes (dead tunnel) it emits the partial JSON at the
+    short fuse and exits 3; once the device has answered (alive flag)
+    only the long fuse remains."""
+    import json
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def code(alive, sleep_s):
+        return (
+            "import sys, time\n"
+            f"sys.path.insert(0, {root!r})\n"
+            "import bench\n"
+            "extra, errors, fps = {'partial': 1}, {}, [0.0]\n"
+            f"alive = [{alive}]\n"
+            "bench._arm_watchdog(extra, errors, fps, deadline_s=3600,\n"
+            "                    alive=alive, first_op_deadline_s=30)\n"
+            f"time.sleep({sleep_s})\n"
+            "print('NO_FIRE')\n")
+
+    r = subprocess.run(
+        [sys.executable, "-c", code("False", 120)],
+        capture_output=True, text=True, timeout=170)
+    assert r.returncode == 3
+    rec = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert rec["extra"]["partial"] == 1
+    assert "device_dead" in rec["extra"]["errors"]
+
+    r2 = subprocess.run(
+        [sys.executable, "-c", code("True", 70)],
+        capture_output=True, text=True, timeout=170)
+    assert r2.returncode == 0 and "NO_FIRE" in r2.stdout
