@@ -278,7 +278,6 @@ def test_detect_sweep_ladder_and_misfit(yunet_n_pth):
     assert det.detect_batch([], (96, 64)) == []
     # sweep accounting: one solo misfit, no duplicated forward work
     assert det.last_sweep_stats["misfit_solo"] == 1
-    assert det.last_sweep_stats["padded_slots"] == 0
 
 
 def test_detect_timings_budget(yunet_n_pth):
@@ -335,7 +334,6 @@ def test_detect_sweep_remainder_ladder(yunet_n_pth, monkeypatch):
                             batch_size=4)
     assert len(outs) == 7
     assert sizes == [4, 2, 1]
-    assert det.last_sweep_stats["padded_slots"] == 0
     assert det.last_sweep_stats["batches"] == 3
     for img, out in zip(imgs, outs):
         ref = det.detect(img, mode=(96, 64), score_thr=0.01)

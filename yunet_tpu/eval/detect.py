@@ -512,7 +512,7 @@ class Detector:
 
         results: dict = {}
         stats = {"images": len(entries), "misfit_solo": 0, "batches": 0,
-                 "padded_slots": 0, "devnms_saturated": 0}
+                 "devnms_saturated": 0}
 
         def emit(idx, res):
             results[idx] = res
