@@ -97,8 +97,12 @@ TIERS = {
                  crowd_frac=0.0, crowd_faces=(0, 0), occl_frac=0.0,
                  trunc_frac=0.0, ignore_frac=0.0, distractors=(0, 0),
                  degrade=False),
-    "hard": dict(min_face=5, max_faces=18, smax_frac=0.45,
-                 crowd_frac=0.30, crowd_faces=(24, 90), occl_frac=0.35,
+    # calibrated on-TPU round 4: a first cut (min_face 5, crowd 0.30,
+    # blur<=2.2) landed the blessed recipe at hard AP 0.866 @2400 steps;
+    # this notch (tinier faces, more crowds, stronger blur) targets the
+    # reference's real operating point, hard ~0.81 (README.md:108-112)
+    "hard": dict(min_face=4, max_faces=18, smax_frac=0.45,
+                 crowd_frac=0.35, crowd_faces=(24, 110), occl_frac=0.35,
                  trunc_frac=0.20, ignore_frac=0.06, distractors=(3, 12),
                  degrade=True),
 }
@@ -166,7 +170,7 @@ def degrade_image(img, rng):
     alpha = rng.uniform(0.45, 1.0)          # contrast compression
     beta = rng.uniform(-20, 40)             # brightness shift
     out = out * alpha + beta
-    sigma = rng.uniform(0.0, 2.2)
+    sigma = rng.uniform(0.0, 2.8)
     if sigma > 0.3:
         k = int(sigma * 3) * 2 + 1
         out = cv2.GaussianBlur(out, (k, k), sigma)
@@ -391,7 +395,10 @@ def write_gt_mats(gt_dir, per_event):
             heights = xywh[:, 3]
             for s, thr in subsets.items():
                 keep = np.flatnonzero((heights >= thr) & ~ign) + 1
-                gls[s][j, 0] = keep.astype(np.float64).reshape(-1, 1)
+                # integer dtype like the official mats (uint8/uint16 per
+                # MATLAB compaction) — the reference evaluator indexes
+                # with these directly (widerface.py:320)
+                gls[s][j, 0] = keep.astype(np.int32).reshape(-1, 1)
         file_list[i, 0] = fl
         facebox_list[i, 0] = fb
         for s in subsets:
