@@ -414,3 +414,38 @@ def test_device_aug_loader_resume(synth_tree):
     del skipped
     for k in want:
         np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_bank_capacity_guard():
+    """to_device must fail at STAGING time with sized arithmetic and the
+    bank_sharded/host-pipeline alternatives when the bank exceeds free
+    HBM — not as a raw backend OOM (real WIDER train is ~51 GB replicated,
+    vs a 16 GB v5e chip)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from yunet_tpu.data.device_aug import ImageBank
+
+    bank = ImageBank.__new__(ImageBank)
+    bank.images = np.zeros((8, 64, 64, 3), np.uint8)  # 96 KiB
+    bank.canvas = 64
+    nbytes = bank.images.nbytes
+
+    # replicated bank over budget -> actionable error
+    tight = {"bytes_limit": nbytes, "bytes_in_use": nbytes // 2}
+    with pytest.raises(RuntimeError) as ei:
+        bank._check_capacity(None, _stats=tight)
+    msg = str(ei.value)
+    assert "bank_sharded" in msg and "GB" in msg and "device_aug=false" in msg
+
+    # the SAME budget passes once the bank is sharded 4-ways over 'dp'
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+    sharded = NamedSharding(mesh, P("dp"))
+    bank._check_capacity(sharded, _stats=tight)  # 1/4 per device: fits
+
+    # backend without HBM accounting (CPU): guard is a no-op
+    bank._check_capacity(None, _stats={})
+
+    # comfortable budget: no error
+    bank._check_capacity(None, _stats={"bytes_limit": nbytes * 100,
+                                       "bytes_in_use": 0})

@@ -87,6 +87,61 @@ class ImageBank:
     def __len__(self) -> int:
         return len(self.records)
 
+    def _check_capacity(self, sharding, _stats=None) -> None:
+        """Fail at staging time, with arithmetic, if the bank cannot fit.
+
+        Without this, a too-large bank surfaces as a raw backend OOM deep
+        inside device_put. Real WIDER train is 12,880 images x 1152^2 x 3 B
+        ~= 51 GB — far beyond one 16 GB v5e chip — so the replicated
+        default MUST be rejected early with the actionable alternatives
+        (the DistributedGroupSampler-style shard-disjoint role,
+        reference mmdet/datasets/samplers/group_sampler.py:51+).
+        """
+        import jax
+
+        per_dev = self.images.nbytes
+        if sharding is not None:
+            if sharding.is_fully_addressable:
+                shard_shape = sharding.shard_shape(self.images.shape)
+                per_dev = int(np.prod(shard_shape)) * self.images.itemsize
+            else:
+                # multi-process: self.images is this process's local block,
+                # spread over this process's addressable devices
+                per_dev = self.images.nbytes // max(
+                    1, len(sharding.addressable_devices))
+        if _stats is not None:
+            stats = _stats
+        else:
+            try:
+                stats = jax.local_devices()[0].memory_stats() or {}
+            except Exception:
+                stats = {}
+        limit = stats.get("bytes_limit")
+        if not limit:
+            return  # backend exposes no HBM accounting (CPU) — can't check
+        free = limit - stats.get("bytes_in_use", 0)
+        # leave headroom for params/activations/XLA scratch: the staged
+        # bank may take at most 80% of currently-free device memory
+        budget = int(free * 0.8)
+        if per_dev <= budget:
+            return
+        n_dev = getattr(sharding, "num_devices", None) or 1
+        sharded = per_dev < self.images.nbytes
+        raise RuntimeError(
+            f"image bank needs {per_dev / 1e9:.2f} GB per device "
+            f"({len(self.images)} images x {self.canvas}^2 x 3 B"
+            f"{f' over {n_dev} device shards' if sharded else ''}) but only "
+            f"{free / 1e9:.2f} GB of {limit / 1e9:.2f} GB HBM is free "
+            f"(budget {budget / 1e9:.2f} GB with scratch headroom). "
+            "Options: (a) data.bank_sharded=true shards the bank over the "
+            "'dp' mesh axis with shard-local sampling — an N-device slice "
+            "divides the per-chip cost by N (real WIDER train at "
+            "12,880 x 1152^2 x 3 B ~= 51 GB fits from 8 x 16 GB chips "
+            "up); (b) reduce data.bank_canvas / data.bank_size; (c) "
+            "data.device_aug=false falls back to the host cv2 pipeline "
+            "(no HBM cost, needs host decode + wire bandwidth)."
+        )
+
     def to_device(self, sharding=None, chunk_mb: int = 96):
         """Stage the bank into HBM (chunked puts: a single multi-GB RPC
         stalls some transports). Returns a device array.
@@ -97,6 +152,7 @@ class ImageBank:
         import jax
         import jax.numpy as jnp
 
+        self._check_capacity(sharding)
         if sharding is not None and not sharding.is_fully_addressable:
             return jax.make_array_from_process_local_data(
                 sharding, self.images)
