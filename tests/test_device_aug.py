@@ -449,3 +449,99 @@ def test_bank_capacity_guard():
     # comfortable budget: no error
     bank._check_capacity(None, _stats={"bytes_limit": nbytes * 100,
                                        "bytes_in_use": 0})
+
+
+def test_sharded_bank_matches_replicated(tmp_path_factory):
+    """Sharded-bank training == replicated-bank training on the same
+    batches (8 devices): with per-slot shard-local indices rewritten to
+    global indices, the P('dp')-sharded bank step and the replicated-bank
+    step must produce bit-identical params, BN state, and metrics —
+    sharding is a layout choice, not a semantics choice (the
+    DistributedGroupSampler role, reference samplers/group_sampler.py:51+)."""
+    import dataclasses
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import make_synth_wider as gen
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.data.dataset import SampleSpec
+    from yunet_tpu.data.device_aug import DeviceAugLoader
+    from yunet_tpu.models import YuNet
+    from yunet_tpu.train import init_train_state, make_train_step
+
+    root = tmp_path_factory.mktemp("synth16eq")
+    gen.main(["--out", str(root), "--train-n", "16", "--val-n", "2"])
+
+    img = 96
+    base = yunet_n()
+    data = dataclasses.replace(base.data, img_size=img, max_gts=16,
+                               device_aug=True, bank_size=img,
+                               bank_canvas=192)
+    cfg_sh = dataclasses.replace(
+        base, data=dataclasses.replace(data, bank_sharded=True),
+        train=dataclasses.replace(base.train, bf16=False))
+    cfg_re = dataclasses.replace(
+        base, data=dataclasses.replace(data, bank_sharded=False),
+        train=dataclasses.replace(base.train, bf16=False))
+
+    spec = SampleSpec(img_size=img, max_gts=16)
+    loader = DeviceAugLoader(
+        str(root / "train" / "labelv2.txt"),
+        str(root / "train" / "images"),
+        batch_size=8, spec=spec, bank_size=img, bank_canvas=192,
+        device_shards=8)
+    try:
+        batches = [next(iter(loader)) for _ in range(2)]
+        shard_len = loader.shard_len
+        mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+        shard = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        bank_sh = loader.bank.to_device(shard)
+        bank_re = loader.bank.to_device(repl)
+
+        model = YuNet(cfg_sh.model)
+        ts0, tx = init_train_state(cfg_sh, steps_per_epoch=10,
+                                   total_batch=8)
+        step_sh = make_train_step(cfg_sh, model, tx, img_size=img,
+                                  mesh=mesh)
+        step_re = make_train_step(cfg_re, model, tx, img_size=img,
+                                  mesh=mesh)
+
+        import jax.numpy as jnp
+
+        def run(step, bank, ts, to_global):
+            ms = []
+            for batch in batches:
+                b = {k: v for k, v in batch.items() if k != "num_overflow"}
+                if to_global:
+                    # undo the loader's shard-local rewrite: slot j lives
+                    # on device j (batch 8 over 8 shards)
+                    b["aug_idx"] = (b["aug_idx"]
+                                    + np.arange(8, dtype=np.int32)
+                                    * shard_len)
+                b = {k: jax.device_put(v, shard) for k, v in b.items()}
+                b["bank"] = bank
+                ts, m = step(ts, b)
+                ms.append(m)
+            return ts, ms
+
+        # the step donates its TrainState argument: run each variant on
+        # its own copy of the identical init
+        ts_sh, ms_sh = run(step_sh, bank_sh, jax.tree.map(jnp.copy, ts0),
+                           False)
+        ts_re, ms_re = run(step_re, bank_re, jax.tree.map(jnp.copy, ts0),
+                           True)
+        for a, b in zip(ms_sh, ms_re):
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]),
+                                              np.asarray(b[k]), err_msg=k)
+        jax.tree.map(
+            lambda x, y: np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y)),
+            ts_sh.params, ts_re.params)
+        jax.tree.map(
+            lambda x, y: np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y)),
+            ts_sh.state, ts_re.state)
+    finally:
+        loader.close()
