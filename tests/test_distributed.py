@@ -132,3 +132,41 @@ def test_dist_train_sh_two_process_smoke(tmp_path):
     assert "global batch 4, 4 devices" in logs[0] + logs[1]
     ckpts = list((tmp_path / "work").glob("ckpt_*"))
     assert ckpts, "no checkpoint saved by process 0"
+
+
+@pytest.mark.slow
+def test_two_process_sharded_eval_matches_single_process(tmp_path):
+    """In-training eval shards the val sweep across processes and
+    all-gathers detections to process 0; APs must be BIT-identical to a
+    single-process sweep of the same fixture (the DistEvalHook /
+    multi_gpu_test role, reference mmdet/apis/test.py:81,179-209).
+    Detections travel as float32 end to end, and per-image forwards are
+    row-independent, so no tolerance is needed."""
+    gen = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_synth_wider.py"),
+         "--out", str(tmp_path / "synth"), "--train-n", "2", "--val-n", "8"],
+        env=_clean_env(), cwd=REPO, capture_output=True)
+    assert gen.returncode == 0, gen.stderr.decode()[-2000:]
+
+    def run_eval(nproc, out):
+        port = _free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "dist_eval_worker.py"),
+             str(pid), str(nproc), str(port), out,
+             str(tmp_path / "synth")],
+            env=_clean_env(), cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT) for pid in range(nproc)]
+        logs = []
+        for p in procs:
+            stdout, _ = p.communicate(timeout=900)
+            logs.append(stdout.decode())
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, f"eval worker failed:\n{log[-3000:]}"
+
+    out2 = str(tmp_path / "ap2.npz")
+    out1 = str(tmp_path / "ap1.npz")
+    run_eval(2, out2)
+    run_eval(1, out1)
+    a, b = np.load(out2), np.load(out1)
+    for k in ("easy", "medium", "hard"):
+        assert a[k] == b[k], (k, float(a[k]), float(b[k]))

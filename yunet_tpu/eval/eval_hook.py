@@ -37,6 +37,38 @@ def widerface_eval_mode(mode: int) -> Union[str, Tuple[int, int]]:
     raise ValueError(f"bad WIDER eval mode {mode}")
 
 
+def _gather_sharded_detections(bbs, n_total, pcount, pidx):
+    """All-gather each process's packed per-image detections and rebuild
+    the global record order on process 0 (the collect half of the
+    reference's multi_gpu_test, mmdet/apis/test.py:81,179-209 — there a
+    dist.broadcast/part-pickle gather, here a single process_allgather
+    of fixed-shape arrays). Returns the full per-record list on process
+    0, None elsewhere.
+
+    Detections stay float32 end to end, so the gathered copies are
+    bit-identical to a single-process sweep's.
+    """
+    from jax.experimental import multihost_utils
+
+    local_max = np.int32(max((len(b) for b in bbs), default=0))
+    k = max(1, int(np.max(multihost_utils.process_allgather(local_max))))
+    length = -(-n_total // pcount)  # ceil: max shard length, all procs
+    packed = np.zeros((length, k, 5), np.float32)
+    counts = np.zeros((length,), np.int32)
+    for i, bb in enumerate(bbs):
+        counts[i] = len(bb)
+        packed[i, :len(bb)] = bb
+    g_packed = np.asarray(multihost_utils.process_allgather(packed))
+    g_counts = np.asarray(multihost_utils.process_allgather(counts))
+    if pidx != 0:
+        return None
+    out = [None] * n_total
+    for p in range(pcount):
+        for j in range(len(range(p, n_total, pcount))):
+            out[p + j * pcount] = g_packed[p, j, :g_counts[p, j]]
+    return out
+
+
 def make_wider_eval_hook(cfg: Config, *,
                          mode: Union[str, Tuple[int, int]] = "ORIGIN",
                          ann: Optional[str] = None,
@@ -73,19 +105,29 @@ def make_wider_eval_hook(cfg: Config, *,
         records = records[:limit]
     det = Detector(cfg)  # params swapped in per call
     if mesh is not None and getattr(mesh, "size", 1) > 1:
-        det.mesh = mesh
+        import jax
+        local = [d for d in mesh.devices.flat
+                 if d.process_index == jax.process_index()]
+        if len(local) == mesh.size:
+            det.mesh = mesh
+        elif len(local) > 1:
+            # multi-process mesh: the sweep must dispatch on LOCAL
+            # devices only — binding the global mesh would turn every
+            # per-image jit into a lockstep multihost dispatch
+            from jax.sharding import Mesh
+            det.mesh = Mesh(np.array(local), ("dp",))
 
     def hook(ts, step):
         import jax
         import jax.numpy as jnp
-        if jax.process_count() > 1 and jax.process_index() != 0:
-            # multi-process: the sweep runs on process 0 only, on arrays
-            # rebuilt from the local (replicated) shards — binding the
-            # global jax.Arrays directly would turn every per-image jit
-            # into a lockstep multihost dispatch on all processes. The
-            # other processes return to training and simply wait at
-            # their next collective.
-            return None
+        # multi-process: each process sweeps a round-robin shard of the
+        # val set on its local devices, then the packed detections are
+        # all-gathered and process 0 runs the protocol once (DistEvalHook
+        # + multi_gpu_test, reference mmdet/apis/test.py:81,179-209 and
+        # core/evaluation/eval_hooks.py:78-130) — no host idles through
+        # in-training eval.
+        pcount, pidx = jax.process_count(), jax.process_index()
+        my_records = records[pidx::pcount] if pcount > 1 else records
         from ..train.checkpoint import to_host
         params = (ts.ema_params
                   if use_ema and ts.ema_params is not None else ts.params)
@@ -103,13 +145,20 @@ def make_wider_eval_hook(cfg: Config, *,
         # batched sweep — same engine as tools/test_widerface.py
         outs = det.detect_sweep(
             [((lambda r=rec: load(r)), (rec.height, rec.width))
-             for rec in records],
+             for rec in my_records],
             mode, pad_divisor=pad_divisor,
             use_device_nms=use_device_nms,
             device_nms_top_k=device_nms_top_k)
+        bbs = [out["bboxes"] for out in outs]
+        if pcount > 1:
+            bbs = _gather_sharded_detections(bbs, len(records), pcount,
+                                             pidx)
+            if bbs is None:
+                # non-zero process: detections delivered; the C++ WIDER
+                # matcher runs once on process 0
+                return None
         results = {}
-        for rec, out in zip(records, outs):
-            bb = out["bboxes"]
+        for rec, bb in zip(records, bbs):
             xywh = np.concatenate(
                 [bb[:, :2], bb[:, 2:4] - bb[:, :2], bb[:, 4:5]], axis=1)
             event, name = rec.filename.split("/")
