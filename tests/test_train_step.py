@@ -241,3 +241,52 @@ def test_remat_stages_bit_exact():
     for a, b in zip(jax.tree_util.tree_leaves((ts_a.params, ts_a.state)),
                     jax.tree_util.tree_leaves((ts_b.params, ts_b.state))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_composed_dp_matches_factored():
+    """ModelConfig.composed_dp runs each ConvDPUnit as ONE dense 3x3
+    conv (pw and dw are linear with no activation between — reference
+    yunet_layer.py:4-36 — so the composition is exact up to float
+    reassociation, INCLUDING the border rows where the depthwise
+    padding drops taps of the pointwise bias). One train step must
+    match the factored step to f32-reassociation tolerance on loss,
+    every grad-driven param, and the BN state."""
+    cfg = _small_cfg()
+    batch = _batch(2, 96, seed=11)
+
+    outs = []
+    for composed in (False, True):
+        c = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, composed_dp=composed))
+        model = YuNet(c.model)
+        ts, tx = init_train_state(c, steps_per_epoch=10, total_batch=2)
+        step = make_train_step(c, model, tx, img_size=96)
+        outs.append(step(ts, batch))
+
+    (ts_a, m_a), (ts_b, m_b) = outs
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-4)
+    for (path_a, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path((ts_a.params,
+                                                  ts_a.state))[0],
+            jax.tree_util.tree_flatten_with_path((ts_b.params,
+                                                  ts_b.state))[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5,
+            err_msg=jax.tree_util.keystr(path_a))
+
+
+def test_composed_dp_eval_forward_matches():
+    """Eval-mode forward: composed vs factored output maps agree to
+    float tolerance (the detect/export semantics are unchanged)."""
+    cfg = _small_cfg()
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randint(0, 256, (1, 96, 96, 3)).astype(np.float32))
+    model_a = YuNet(cfg.model)
+    model_b = YuNet(dataclasses.replace(cfg.model, composed_dp=True))
+    params, state = model_a.init(jax.random.PRNGKey(0))
+    fa, _ = model_a.forward_flat(params, state, x, train=False)
+    fb, _ = model_b.forward_flat(params, state, x, train=False)
+    for k in fa:
+        np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)

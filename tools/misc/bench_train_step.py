@@ -66,6 +66,10 @@ def main(argv=None):
     ap.add_argument("--bn-bias", default="skip",
                     help="skip = stop_gradient on BN-covered conv biases "
                          "(production), keep = plain autodiff")
+    ap.add_argument("--convdp", default="plain",
+                    help="plain = factored pw+dw convs, composed = one "
+                         "dense 3x3 conv per ConvDPUnit "
+                         "(model.composed_dp)")
     ap.add_argument("--remat", default="none",
                     help="comma list of backbone remat plans: none, or "
                          "digit strings like 0 / 01 / 012 naming the "
@@ -101,11 +105,13 @@ def main(argv=None):
     bn_bias_orig = layers._bn_covered_bias
 
     remats = args.remat.split(",")
-    for pool, dt, sim, bnb, rm in itertools.product(pools, dtypes, simotas,
-                                                    bn_biases, remats):
+    convdps = args.convdp.split(",")
+    for pool, dt, sim, bnb, rm, cdp in itertools.product(
+            pools, dtypes, simotas, bn_biases, remats, convdps):
         stages = () if rm == "none" else tuple(int(c) for c in rm)
         cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, remat_stages=stages))
+            cfg, model=dataclasses.replace(cfg.model, remat_stages=stages,
+                                           composed_dp=(cdp == "composed")))
         backbone.max_pool2x = pool_impls[pool]
         layers._bn_covered_bias = (bn_bias_orig if bnb == "skip"
                                    else lambda b, train: b)
@@ -129,7 +135,7 @@ def main(argv=None):
         ts, m = step(ts, batch)                       # compile
         jax.block_until_ready(m["loss"])
         variants.append({"name": f"pool={pool},dtype={dt},simota={sim},"
-                                 f"bn_bias={bnb},remat={rm}",
+                                 f"bn_bias={bnb},remat={rm},convdp={cdp}",
                          "step": step, "ts": ts, "batch": batch,
                          "vals": []})
         print(f"compiled {variants[-1]['name']}", file=sys.stderr)

@@ -47,6 +47,13 @@ class ModelConfig:
     # extra passes outweigh the saved residuals); useful only to fit
     # larger batches/resolutions in HBM.
     remat_stages: Tuple[int, ...] = ()
+    # run every ConvDPUnit's pw(1x1)+dw(3x3) pair (no nonlinearity
+    # between, reference yunet_layer.py:4-36) as ONE composed dense 3x3
+    # conv W[ky,kx,i,o] = pw[i,o]*dw[ky,kx,o] (+ exact border-bias
+    # field): removes the pointwise intermediate's HBM round-trip in
+    # both directions at ~6x the MXU MACs — a traffic-for-FLOPs trade
+    # on the HBM-bound train step (models/layers.py:_composed_pw_dw)
+    composed_dp: bool = False
 
 
 @dataclass(frozen=True)

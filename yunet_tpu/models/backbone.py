@@ -85,6 +85,7 @@ def yunet_backbone_init(key, stage_channels: Sequence[Sequence[int]]
 def yunet_backbone(p: Params, s: State, x: jnp.ndarray, *,
                    downsample_idx: Sequence[int], out_idx: Sequence[int],
                    train: bool = False, fused: bool = False,
+                   composed: bool = False,
                    remat_stages: Sequence[int] = ()
                    ) -> Tuple[List[jnp.ndarray], State]:
     num_stages = len(p)
@@ -93,7 +94,8 @@ def yunet_backbone(p: Params, s: State, x: jnp.ndarray, *,
     for i in range(num_stages):
         name = f"model{i}"
         fn = conv_head if i == 0 else conv4layer_block
-        call = functools.partial(fn, train=train, fused=fused)
+        call = functools.partial(fn, train=train, fused=fused,
+                                 composed=composed)
         if train and i in remat_stages:
             # recompute this stage's intermediates in the backward pass
             # instead of round-tripping them through HBM (see

@@ -44,14 +44,15 @@ class YuNet:
     # -- forward ------------------------------------------------------------
     def extract_feat(self, params, state, x, *, train: bool = False,
                      fused: bool = False):
+        composed = self.cfg.composed_dp
         feats, ns_b = yunet_backbone(
             params["backbone"], state["backbone"], x,
             downsample_idx=self.cfg.downsample_idx,
             out_idx=self.cfg.out_idx, train=train, fused=fused,
-            remat_stages=self.cfg.remat_stages)
+            composed=composed, remat_stages=self.cfg.remat_stages)
         feats, ns_n = tfpn(params["neck"], state["neck"], feats,
                            out_idx=tuple(range(len(feats))), train=train,
-                           fused=fused)
+                           fused=fused, composed=composed)
         return feats, {"backbone": ns_b, "neck": ns_n}
 
     def forward(self, params, state, x, *, train: bool = False,
@@ -64,7 +65,8 @@ class YuNet:
         feats, ns = self.extract_feat(params, state, x, train=train,
                                       fused=fused)
         outs, ns_h = yunet_head(params["head"], state["head"], feats,
-                                train=train, fused=fused)
+                                train=train, fused=fused,
+                                composed=self.cfg.composed_dp)
         ns["head"] = ns_h
         return outs, ns
 

@@ -54,7 +54,8 @@ def yunet_head_init(key, *, num_levels: int, in_channels: int,
 
 
 def yunet_head(p: Params, s: State, feats: List[jnp.ndarray], *,
-               train: bool = False, fused: bool = False
+               train: bool = False, fused: bool = False,
+               composed: bool = False
                ) -> Tuple[Dict[str, List[jnp.ndarray]], State]:
     """Returns dict of per-level NHWC maps: cls, bbox, obj, kps."""
     new_s: Dict[str, Any] = {b: {} for b in s}
@@ -73,7 +74,7 @@ def yunet_head(p: Params, s: State, feats: List[jnp.ndarray], *,
                 feat, stack_new[i] = conv_dp_unit(
                     p["multi_level_share_convs"][l][i],
                     s["multi_level_share_convs"][l][i], feat, train=train,
-                    fused=fused)
+                    fused=fused, composed=composed)
             new_s["multi_level_share_convs"][l] = stack_new
         # The four prediction branches run as ONE ConvDPUnit whose
         # weights are the branch weights concatenated along the output
@@ -96,7 +97,8 @@ def yunet_head(p: Params, s: State, feats: List[jnp.ndarray], *,
                       [p[b][l]["conv2"]["w"] for b in branch_names], -1),
                   "b": jnp.concatenate(
                       [p[b][l]["conv2"]["b"] for b in branch_names], -1)}}
-        y, _ = conv_dp_unit(pf, {}, feat, train=train, fused=fused)
+        y, _ = conv_dp_unit(pf, {}, feat, train=train, fused=fused,
+                            composed=composed)
         off = 0
         for b in branch_names:
             ch = p[b][l]["conv1"]["w"].shape[-1]

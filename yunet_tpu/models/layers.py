@@ -168,9 +168,33 @@ def _bn_covered_bias(b: jnp.ndarray, train: bool) -> jnp.ndarray:
     return jax.lax.stop_gradient(b) if train else b
 
 
+def _composed_pw_dw(p: Params, x: jnp.ndarray, b2) -> jnp.ndarray:
+    """pw(1x1) then dw(3x3) with no nonlinearity between (reference
+    yunet_layer.py:4-36) compose exactly into ONE dense 3x3 conv
+    W[ky,kx,i,o] = pw[i,o] * dw[ky,kx,o], which removes the pointwise
+    intermediate's HBM round-trip in BOTH directions — the ~419 MB
+    stage-1/2 tensors at b128/640² are the largest line in the measured
+    train-step roofline, and XLA never merges conv pairs on its own.
+    The pointwise bias contributes a batch-independent field (interior:
+    b1·Σdw taps; borders: fewer taps where the dw padding falls outside
+    the image) reproduced exactly by one batch-1 depthwise conv over
+    the constant b1 map. The composed conv runs ~6x more MXU MACs than
+    the factored pair — free on an HBM-bound step (3% MFU)."""
+    pw = p["conv1"]["w"][0, 0]                       # (cin, cout)
+    dw = p["conv2"]["w"][:, :, 0]                    # (3, 3, cout)
+    w = pw[None, None] * dw[:, :, None, :]           # (3, 3, cin, cout)
+    y = conv2d(x, w, None, padding=1)
+    b1 = p["conv1"]["b"]
+    field = jnp.broadcast_to(b1.astype(x.dtype),
+                             (1,) + x.shape[1:3] + (b1.shape[0],))
+    return y + conv2d(field, p["conv2"]["w"], b2, padding=1,
+                      depthwise=True)
+
+
 def conv_dp_unit(p: Params, s: State, x: jnp.ndarray, *,
                  train: bool = False,
-                 fused: bool = False) -> Tuple[jnp.ndarray, State]:
+                 fused: bool = False,
+                 composed: bool = False) -> Tuple[jnp.ndarray, State]:
     b2 = p["conv2"]["b"]
     if "bn" in p:
         b2 = _bn_covered_bias(b2, train)
@@ -186,6 +210,8 @@ def conv_dp_unit(p: Params, s: State, x: jnp.ndarray, *,
         rb = 32 if min(cin, cout) >= 32 else 8
         x = fused_pw_dw(x, p["conv1"]["w"], p["conv1"]["b"],
                         p["conv2"]["w"], b2, rb)
+    elif composed:
+        x = _composed_pw_dw(p, x, b2)
     else:
         x = conv2d(x, p["conv1"]["w"], p["conv1"]["b"])
         x = conv2d(x, p["conv2"]["w"], b2, padding=1,
@@ -211,13 +237,14 @@ def conv_head_init(key, cin: int, cmid: int,
 
 def conv_head(p: Params, s: State, x: jnp.ndarray, *,
               train: bool = False,
-              fused: bool = False) -> Tuple[jnp.ndarray, State]:
+              fused: bool = False,
+              composed: bool = False) -> Tuple[jnp.ndarray, State]:
     x = conv2d(x, p["conv1"]["w"], _bn_covered_bias(p["conv1"]["b"], train),
                stride=2, padding=1)
     x, new_bn1 = batch_norm(x, p["bn1"], s["bn1"], train=train)
     x = relu(x)
     x, new_conv2 = conv_dp_unit(p["conv2"], s["conv2"], x, train=train,
-                                fused=fused)
+                                fused=fused, composed=composed)
     return x, {"bn1": new_bn1, "conv2": new_conv2}
 
 
@@ -235,9 +262,10 @@ def conv4layer_block_init(key, cin: int, cout: int,
 
 def conv4layer_block(p: Params, s: State, x: jnp.ndarray, *,
                      train: bool = False,
-                     fused: bool = False) -> Tuple[jnp.ndarray, State]:
+                     fused: bool = False,
+                     composed: bool = False) -> Tuple[jnp.ndarray, State]:
     x, n1 = conv_dp_unit(p["conv1"], s["conv1"], x, train=train,
-                         fused=fused)
+                         fused=fused, composed=composed)
     x, n2 = conv_dp_unit(p["conv2"], s["conv2"], x, train=train,
-                         fused=fused)
+                         fused=fused, composed=composed)
     return x, {"conv1": n1, "conv2": n2}
