@@ -44,7 +44,11 @@ class YuNet:
     # -- forward ------------------------------------------------------------
     def extract_feat(self, params, state, x, *, train: bool = False,
                      fused: bool = False):
-        composed = self.cfg.composed_dp
+        # composed mode is a training-traffic optimization; eval/serve
+        # forwards keep the factored pair (the serve path has its own
+        # per-batch fused/plain selection, and the intermediates are
+        # small at serve shapes)
+        composed = self.cfg.composed_dp and train
         feats, ns_b = yunet_backbone(
             params["backbone"], state["backbone"], x,
             downsample_idx=self.cfg.downsample_idx,
@@ -66,7 +70,7 @@ class YuNet:
                                       fused=fused)
         outs, ns_h = yunet_head(params["head"], state["head"], feats,
                                 train=train, fused=fused,
-                                composed=self.cfg.composed_dp)
+                                composed=self.cfg.composed_dp and train)
         ns["head"] = ns_h
         return outs, ns
 
