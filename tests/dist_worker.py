@@ -47,8 +47,19 @@ def main():
 
     img, g, steps = 64, 4, 3  # small program: cuts compile-time skew
     cfg = yunet_n()
+    # f32 trunk: this worker gates the PROCESS boundary (shard assembly +
+    # cross-host collectives), so the gate must stay bit-tight. In bf16,
+    # the ~1e-7 cross-host psum reduction-order noise on the first BN's
+    # batch stats is amplified ~100-1000x by twelve bf16 renormalization
+    # roundings (measured round 4: 1.2e-7 rel at model0.bn1.mean ->
+    # 4.4e-5 rel on the step-1 loss — in BOTH composed and factored
+    # modes), which swamps a tight gate without indicating any collective
+    # bug. f32 keeps the amplification linear (~1e-7 stays ~1e-7). The
+    # bf16 collective math itself is covered in-process by
+    # test_train_step's 8-way SPMD==single gate.
     cfg = dataclasses.replace(
-        cfg, data=dataclasses.replace(cfg.data, img_size=img, max_gts=g))
+        cfg, data=dataclasses.replace(cfg.data, img_size=img, max_gts=g),
+        train=dataclasses.replace(cfg.train, bf16=False))
     model = YuNet(cfg.model)
     mesh = Mesh(np.array(jax.devices()), ("dp",))
     b = 2 * GLOBAL_DEVICES  # global batch

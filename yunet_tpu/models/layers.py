@@ -179,16 +179,36 @@ def _composed_pw_dw(p: Params, x: jnp.ndarray, b2) -> jnp.ndarray:
     b1·Σdw taps; borders: fewer taps where the dw padding falls outside
     the image) reproduced exactly by one batch-1 depthwise conv over
     the constant b1 map. The composed conv runs ~6x more MXU MACs than
-    the factored pair — free on an HBM-bound step (3% MFU)."""
+    the factored pair — free on an HBM-bound step (3% MFU).
+
+    The bias field is evaluated in closed form, not as a conv: a
+    depthwise 3x3 over a spatially-constant map depends only on which
+    taps fall inside the image, i.e. out(y,x,c) = b1_c * sum of
+    dw[ky,kx,c] over in-bounds taps + b2_c, and the in-bounds set
+    factors into row/col validity masks — one tiny einsum. (The first
+    cut ran a batch-1 depthwise conv over a broadcast b1 map; under a
+    multi-process 'dp' mesh the SPMD partitioner resolved that
+    batch-1-conv-plus-sharded-add differently than single-process,
+    shifting bf16 rounding enough to break the 2-proc==1-proc
+    bit-tight gate at step 1. The einsum is replicated scalar math —
+    no partitioning freedom.)"""
     pw = p["conv1"]["w"][0, 0]                       # (cin, cout)
     dw = p["conv2"]["w"][:, :, 0]                    # (3, 3, cout)
     w = pw[None, None] * dw[:, :, None, :]           # (3, 3, cin, cout)
     y = conv2d(x, w, None, padding=1)
     b1 = p["conv1"]["b"]
-    field = jnp.broadcast_to(b1.astype(x.dtype),
-                             (1,) + x.shape[1:3] + (b1.shape[0],))
-    return y + conv2d(field, p["conv2"]["w"], b2, padding=1,
-                      depthwise=True)
+    h, wd = x.shape[1], x.shape[2]
+    ks = jnp.arange(3)
+    rowm = (((ks[None, :] + jnp.arange(h)[:, None] - 1) >= 0)
+            & ((ks[None, :] + jnp.arange(h)[:, None] - 1) < h))
+    colm = (((ks[None, :] + jnp.arange(wd)[:, None] - 1) >= 0)
+            & ((ks[None, :] + jnp.arange(wd)[:, None] - 1) < wd))
+    taps = jnp.einsum("yi,ijc,xj->yxc", rowm.astype(dw.dtype), dw,
+                      colm.astype(dw.dtype))         # (H, W, cout)
+    field = b1 * taps
+    if b2 is not None:
+        field = field + b2
+    return y + field[None].astype(y.dtype)
 
 
 def conv_dp_unit(p: Params, s: State, x: jnp.ndarray, *,
