@@ -1,0 +1,100 @@
+"""Mid-band AP gate at the hard-tier operating point.
+
+Round-3 VERDICT missing #1: every AP-level gate in the suite operated at
+a saturated ~1.0 — either self-consistent by construction (GT = the
+detector's own detections, the export-drift scheme) or on the clean base
+tier where the trained recipe maxes the metric. A saturated instrument
+cannot register regressions that would cost real hard-AP points at the
+reference's operating point (hard 0.811, /root/reference/README.md:108-112,
+difficulty from tiny/occluded/crowded faces per
+mmdet/core/evaluation/widerface.py:63-81).
+
+This gate runs the round-4 hard-tier dress-rehearsal endpoint (EMA
+parameters, committed as ``tests/fixtures/r04_ema.npz``; produced by
+``tools/misc/run_rehearsal.py --data data/synth_wider_hard``, see
+docs/rehearsal_r04/) over the hard val split — regenerated
+bit-deterministically by the seeded generator — through the production
+eval hook (letterboxed 640x640 protocol mode 0), and asserts the WIDER
+APs land in a recorded band. At a mid-range AP, drift anywhere in the
+stack (decode math, NMS, resize protocol, score normalization, the AP
+integration) moves the number; the band is wide enough for
+cv2/libjpeg-version pixel drift in the regenerated fixture, tight
+enough that a protocol break cannot hide.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import types
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+FIXTURE = os.path.join(HERE, "fixtures", "r04_ema.npz")
+
+# Recorded at the round-4 rehearsal endpoint (docs/rehearsal_r04/):
+# mode-0 (640x640 letterbox) APs on the 64-image hard val split.
+# Band: +-0.05 absolute around the recorded value — an order of
+# magnitude wider than regeneration/runtime noise (the val split
+# regenerates bit-identically on this image's cv2), an order of
+# magnitude tighter than any protocol break.
+EXPECTED = None  # loaded from the fixture's embedded record
+BAND = 0.05
+
+
+@pytest.fixture(scope="session")
+def hard_val(tmp_path_factory):
+    """Regenerate the hard-tier val split (deterministic: seeded renders;
+    only the .mat timestamp headers differ run-to-run)."""
+    root = tmp_path_factory.mktemp("hard_val")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_synth_wider.py"),
+         "--out", str(root), "--train-n", "0", "--tier", "hard"],
+        capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    return os.path.join(str(root), "val")
+
+
+@pytest.mark.slow
+def test_hard_tier_ap_band(hard_val):
+    import dataclasses
+
+    from yunet_tpu.config import yunet_n
+    from yunet_tpu.eval.eval_hook import make_wider_eval_hook
+    from yunet_tpu.train.step import init_train_state
+
+    blob = np.load(FIXTURE, allow_pickle=False)
+    meta = json.loads(str(blob["meta"]))
+    expected = meta["mode0_aps"]
+
+    cfg = yunet_n()
+    cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data,
+        val_ann=os.path.join(hard_val, "labelv2.txt"),
+        val_img_prefix=os.path.join(hard_val, "images"),
+        gt_dir=os.path.join(hard_val, "gt")))
+
+    # rebuild the param/state pytrees from the flat fixture arrays
+    ts0, _ = init_train_state(cfg, steps_per_epoch=1, total_batch=1)
+    import jax
+    pleaves, ptree = jax.tree_util.tree_flatten(ts0.params)
+    sleaves, stree = jax.tree_util.tree_flatten(ts0.state)
+    assert len(pleaves) == meta["n_params"], "fixture/model param mismatch"
+    params = jax.tree_util.tree_unflatten(
+        ptree, [blob[f"p{i}"] for i in range(len(pleaves))])
+    state = jax.tree_util.tree_unflatten(
+        stree, [blob[f"s{i}"] for i in range(len(sleaves))])
+
+    ts = types.SimpleNamespace(params=params, ema_params=None, state=state)
+    hook = make_wider_eval_hook(cfg, mode=(640, 640), use_ema=False)
+    aps = hook(ts, step=meta["step"])
+
+    for k in ("easy", "medium", "hard"):
+        assert abs(aps[k] - expected[k]) <= BAND, (aps, expected)
+    # the operating point itself must stay unsaturated: if a future
+    # dataset or recipe change pushes hard AP back to ~1.0, this gate
+    # has silently stopped being discriminative — fail loudly instead
+    assert aps["hard"] < 0.97, aps

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Export the hard-tier band-gate fixture (tests/test_hard_band.py).
+
+Loads the dress-rehearsal endpoint checkpoint (EMA parameters), runs the
+mode-0 (640x640 letterbox) WIDER protocol over the hard val split to
+record the reference APs, and writes everything the gate needs into one
+npz: flat param/state leaves (tree_flatten order) + a JSON meta record.
+
+  python tools/misc/export_band_fixture.py \
+      --ckpt work_dirs/rehearsal_r04/ckpt_00002400 \
+      --data data/synth_wider_hard --out tests/fixtures/r04_ema.npz
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, _ROOT)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", default="work_dirs/rehearsal_r04/ckpt_00002400")
+    p.add_argument("--data", default="data/synth_wider_hard")
+    p.add_argument("--config", default="yunet_n")
+    p.add_argument("--out", default="tests/fixtures/r04_ema.npz")
+    args = p.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from yunet_tpu.config import get_config
+    from yunet_tpu.eval.eval_hook import make_wider_eval_hook
+    from yunet_tpu.train.checkpoint import load_checkpoint
+    from yunet_tpu.train.step import init_train_state
+
+    cfg = get_config(args.config)
+    val = os.path.join(args.data, "val")
+    cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data,
+        val_ann=os.path.join(val, "labelv2.txt"),
+        val_img_prefix=os.path.join(val, "images"),
+        gt_dir=os.path.join(val, "gt")))
+
+    # template with EMA leaves so the checkpoint's shadow restores
+    cfg_ema = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, ema_momentum=0.0002))
+    ts, _ = init_train_state(cfg_ema, steps_per_epoch=1, total_batch=1)
+    ts, meta = load_checkpoint(os.path.abspath(args.ckpt), ts)
+    params = ts.ema_params if ts.ema_params is not None else ts.params
+    step = int(meta.get("step", -1))
+    print(f"checkpoint {args.ckpt} (step {step}, EMA params)")
+
+    hook = make_wider_eval_hook(cfg, mode=(640, 640), use_ema=False)
+    aps = hook(types.SimpleNamespace(params=params, ema_params=None,
+                                     state=ts.state), step=step)
+    print(f"mode-0 APs on {val}: {aps}")
+
+    pleaves = jax.tree_util.tree_leaves(params)
+    sleaves = jax.tree_util.tree_leaves(ts.state)
+    blob = {f"p{i}": np.asarray(l, np.float32)
+            for i, l in enumerate(pleaves)}
+    blob.update({f"s{i}": np.asarray(l, np.float32)
+                 for i, l in enumerate(sleaves)})
+    blob["meta"] = json.dumps({
+        "step": step, "ckpt": args.ckpt, "data": args.data,
+        "n_params": len(pleaves), "mode0_aps": aps})
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    np.savez_compressed(args.out, **blob)
+    print(f"wrote {args.out} "
+          f"({os.path.getsize(args.out) / 1024:.0f} KiB)")
+
+
+if __name__ == "__main__":
+    main()
