@@ -338,7 +338,7 @@ def test_tflite_int8_quantized_export(yunet_n_pth):
                          (2, 0, 1))[None] for _ in range(8)]
     blob = export_tflite(params, state, cfg.model, input_shape=(96, 128),
                          quantize="int8", rep_images=reps)
-    face, _, _ = make_image(rng, 128, 96)
+    face, _, _, _ = make_image(rng, 128, 96)
     img = np.transpose(face.astype(np.float32), (2, 0, 1))[None]
     got = run_tflite(blob, img)
     want = _flat_ref_outputs(model, params, state,

@@ -48,7 +48,7 @@ def rep_images(h, w, img_dir=None, count=32):
     from make_synth_wider import make_image
     rng = np.random.RandomState(7)
     for _ in range(count):
-        img, _, _ = make_image(rng, w, h)
+        img = make_image(rng, w, h)[0]
         yield np.transpose(img.astype(np.float32), (2, 0, 1))[None]
 
 
@@ -113,7 +113,7 @@ def main(argv=None):
         else:
             # verify quantized models on in-distribution content
             from make_synth_wider import make_image
-            face, _, _ = make_image(rng, w, h)
+            face = make_image(rng, w, h)[0]
             img = np.transpose(face.astype(np.float32), (2, 0, 1))[None]
         got = run_tflite(blob, img)
         model = YuNet(cfg.model)
