@@ -87,13 +87,16 @@ def _load(cfg, path):
     return model, params, state
 
 
-def _serve_fn(cfg, model, det, *, stem_s2d: bool = False):
+def _serve_fn(cfg, model, det, *, stem_s2d: bool = False,
+              composed: bool = False):
     """Batched serving program: folded trunk + decode + whole-batch
     Pallas NMS (batch on sublanes) in ONE compiled program.
 
     stem_s2d: compute the lane-starved 3-channel stem conv in
     space-to-depth form (models/fused.py:_stem_s2d) — A/B via
-    tools/misc/profile_serve.py --ab-stem."""
+    tools/misc/profile_serve.py --ab-stem.
+    composed: run each folded pw->dw pair as one dense 3x3 conv
+    (models/fused.py:_unit composed=True) — A/B via --ab-composed."""
     import jax
     import jax.numpy as jnp
     from yunet_tpu.models.fused import fused_forward
@@ -110,7 +113,8 @@ def _serve_fn(cfg, model, det, *, stem_s2d: bool = False):
     @jax.jit
     def serve_batch(x):
         outs = fused_forward(folded, x.astype(jnp.bfloat16), cfg.model,
-                             use_pallas=False, stem_s2d=stem_s2d)
+                             use_pallas=False, stem_s2d=stem_s2d,
+                             composed=composed)
         flat = flatten_level_outputs(outs)
         cls = flat["cls"].astype(jnp.float32)
         obj = flat["obj"][..., 0].astype(jnp.float32)
@@ -416,11 +420,16 @@ def main():
                     # v5e HBM peak, so the step is HBM-traffic-bound;
                     # ~3% MFU is structural for a 75k-param depthwise net.
                     extra["train_b128_roofline_ms"] = {
-                        "step_total": 85.0, "conv_fusions_fwd_bwd": 58.4,
-                        "elementwise_fusions": 9.3, "reduce_fusions": 5.0,
-                        "layout_copies": 3.5, "maxpool": 4.4,
+                        "step_total": 79.3, "conv_fusions_fwd_bwd": 41.6,
+                        "elementwise_fusions": 16.2, "reduce_fusions": 9.1,
+                        "layout_copies": 3.7, "maxpool": 4.4,
                         "simota_pallas": 2.9, "resample_strip_loop": 1.5,
                         "bound_by": "HBM traffic",
+                        "note": "round-4 trace of the composed-ConvDP "
+                                "production program (round 3: 85.0 total, "
+                                "58.4 conv); output-bytes lower bound "
+                                "133 GB/step => >=1678 GB/s apparent vs "
+                                "819 peak",
                         "tool": "tools/misc/profile_train_step.py"}
             except Exception:
                 errors[f"train_b{tb}"] = traceback.format_exc(limit=2)

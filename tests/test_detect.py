@@ -84,14 +84,20 @@ def test_fused_forward_matches_reference(yunet_n_pth):
     folded = fold_inference_params(params, state, cfg.model)
     x = jnp.asarray(_img(96, 128, seed=5)[None].astype(np.float32))
     ref, _ = model.forward(params, state, x, train=False)
-    for use_pallas in (True, False):
-        got = fused_forward(folded, x, cfg.model, use_pallas=use_pallas)
+    # (pallas kernel, XLA factored, XLA composed-3x3) must all match;
+    # composed reuses the train-side closed-form bias field on the
+    # folded pw->dw pair (models/fused.py _unit composed=True)
+    for use_pallas, composed in ((True, False), (False, False),
+                                 (False, True)):
+        got = fused_forward(folded, x, cfg.model, use_pallas=use_pallas,
+                            composed=composed)
         for k in ("cls", "bbox", "obj", "kps"):
             for lvl in range(3):
                 np.testing.assert_allclose(
                     np.asarray(got[k][lvl]), np.asarray(ref[k][lvl]),
                     rtol=1e-3, atol=2e-4,
-                    err_msg=f"{k}{lvl} use_pallas={use_pallas}")
+                    err_msg=f"{k}{lvl} use_pallas={use_pallas} "
+                            f"composed={composed}")
 
 
 def test_fused_detector_end_to_end(yunet_n_pth):

@@ -29,6 +29,10 @@ def main(argv=None):
     ap.add_argument("--out", default="/tmp/yunet_serve_trace")
     ap.add_argument("--stem-s2d", action="store_true",
                     help="trace the space-to-depth stem variant")
+    ap.add_argument("--ab-composed", action="store_true",
+                    help="interleaved A/B: factored pw->dw vs composed "
+                         "dense-3x3 serving trunk (models/fused.py "
+                         "_unit composed=True)")
     ap.add_argument("--ab-stem", action="store_true",
                     help="interleaved wall-clock A/B: plain stem vs "
                     "space-to-depth stem (both compiled up front; "
@@ -57,15 +61,20 @@ def main(argv=None):
     xs = [jnp.asarray(rng.randint(0, 256, (args.batch, 320, 320, 3))
                       .astype(np.uint8)) for _ in range(4)]
 
-    if args.ab_stem:
+    if args.ab_stem or args.ab_composed:
         import statistics
         import time
-        serve_b = bench._serve_fn(cfg, model, det, stem_s2d=True)
+        if args.ab_composed:
+            names = ("factored", "composed")
+            serve_b = bench._serve_fn(cfg, model, det, composed=True)
+        else:
+            names = ("plain", "s2d")
+            serve_b = bench._serve_fn(cfg, model, det, stem_s2d=True)
         bench._sync(serve(xs[0]))
         bench._sync(serve_b(xs[0]))
-        wins = {"plain": [], "s2d": []}
+        wins = {names[0]: [], names[1]: []}
         for w in range(10):
-            for name, fn in (("plain", serve), ("s2d", serve_b)):
+            for name, fn in ((names[0], serve), (names[1], serve_b)):
                 t0 = time.perf_counter()
                 out = None
                 for i in range(args.iters):
@@ -74,7 +83,7 @@ def main(argv=None):
                 dt = time.perf_counter() - t0
                 wins[name].append(args.batch * args.iters / dt)
         for name, v in wins.items():
-            print(f"stem {name:<5}: median {statistics.median(v):8.1f} "
+            print(f"{name:<9}: median {statistics.median(v):8.1f} "
                   f"img/s  (min {min(v):.1f}, max {max(v):.1f})")
         return
     bench._sync(serve(xs[0]))

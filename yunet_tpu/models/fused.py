@@ -121,11 +121,24 @@ def _stem_s2d(x: jnp.ndarray, w, b) -> jnp.ndarray:
     return jnp.maximum(y + jnp.asarray(b).astype(y.dtype), 0)
 
 
-def _unit(u, x, use_pallas: bool = True):
+def _unit(u, x, use_pallas: bool = True, composed: bool = False):
     if use_pallas:
         return fused_conv_dp(x, jnp.asarray(u["w1"]), jnp.asarray(u["b1"]),
                              jnp.asarray(u["wd"]), jnp.asarray(u["bd"]),
                              relu=u["relu"])
+    if composed:
+        # Same pw(1x1)·dw(3x3) -> one dense 3x3 composition the train
+        # step uses (layers._composed_pw_dw): the folded unit is exactly
+        # the bias-carrying pw->dw pair, so the closed-form bias field
+        # applies verbatim. Removes the pointwise intermediate's HBM
+        # round-trip from the serving forward at ~6x more MXU MACs.
+        from .layers import _composed_pw_dw
+        y = _composed_pw_dw(
+            {"conv1": {"w": jnp.asarray(u["w1"]),
+                       "b": jnp.asarray(u["b1"])},
+             "conv2": {"w": jnp.asarray(u["wd"])}},
+            x, jnp.asarray(u["bd"]))
+        return jnp.maximum(y, 0) if u["relu"] else y
     from .layers import conv2d
     y = conv2d(x, jnp.asarray(u["w1"]), jnp.asarray(u["b1"]))
     y = conv2d(y, jnp.asarray(u["wd"]), jnp.asarray(u["bd"]), padding=1,
@@ -134,7 +147,8 @@ def _unit(u, x, use_pallas: bool = True):
 
 
 def fused_forward(folded, x: jnp.ndarray, cfg: ModelConfig, *,
-                  use_pallas: bool = True, stem_s2d: bool = False
+                  use_pallas: bool = True, stem_s2d: bool = False,
+                  composed: bool = False
                   ) -> Dict[str, List[jnp.ndarray]]:
     """x: (N, H, W, 3) raw BGR float. Returns per-level NHWC maps.
 
@@ -154,28 +168,28 @@ def fused_forward(folded, x: jnp.ndarray, cfg: ModelConfig, *,
             x, bb["stem_conv"]["w"].astype(x.dtype), (2, 2),
             ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = jnp.maximum(y + bb["stem_conv"]["b"].astype(y.dtype), 0)
-    y = _unit(bb["stem_dp"], y, use_pallas)
+    y = _unit(bb["stem_dp"], y, use_pallas, composed)
     feats: List[jnp.ndarray] = []
     for i in range(len(cfg.stage_channels)):
         if i > 0:
-            y = _unit(bb[f"m{i}a"], y, use_pallas)
-            y = _unit(bb[f"m{i}b"], y, use_pallas)
+            y = _unit(bb[f"m{i}a"], y, use_pallas, composed)
+            y = _unit(bb[f"m{i}b"], y, use_pallas, composed)
         if i in cfg.out_idx:
             feats.append(y)
         if i in cfg.downsample_idx:
             y = max_pool2x(y)
     for i in range(len(feats) - 1, 0, -1):
-        feats[i] = _unit(folded["neck"][str(i)], feats[i], use_pallas)
+        feats[i] = _unit(folded["neck"][str(i)], feats[i], use_pallas, composed)
         feats[i - 1] = feats[i - 1] + upsample2x_nearest(feats[i])
-    feats[0] = _unit(folded["neck"]["0"], feats[0], use_pallas)
+    feats[0] = _unit(folded["neck"]["0"], feats[0], use_pallas, composed)
 
     outs: Dict[str, List[jnp.ndarray]] = {"cls": [], "bbox": [],
                                           "obj": [], "kps": []}
     for lvl, f in enumerate(feats):
         d = folded["head"][str(lvl)]
         for u in d.get("share", []):
-            f = _unit(u, f, use_pallas)
+            f = _unit(u, f, use_pallas, composed)
         for key in ("cls", "bbox", "obj", "kps"):
             if key in d:
-                outs[key].append(_unit(d[key], f, use_pallas))
+                outs[key].append(_unit(d[key], f, use_pallas, composed))
     return outs
