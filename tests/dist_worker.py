@@ -10,7 +10,7 @@ on the identical global batches — the correctness evidence for the
 process boundary (reference mmdet/utils/util_distribution.py:34-59,
 tools/dist_train.sh).
 
-Usage: python dist_worker.py <pid> <nproc> <port> <out.npz>
+Usage: python dist_worker.py <pid> <nproc> <port> <out.npz> [f32|bf16]
        (total global devices fixed at 4: nproc processes x 4/nproc local)
 """
 
@@ -23,6 +23,7 @@ GLOBAL_DEVICES = 4
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     out = sys.argv[4]
+    dtype = sys.argv[5] if len(sys.argv) > 5 else "f32"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={GLOBAL_DEVICES // nproc}")
@@ -47,19 +48,20 @@ def main():
 
     img, g, steps = 64, 4, 3  # small program: cuts compile-time skew
     cfg = yunet_n()
-    # f32 trunk: this worker gates the PROCESS boundary (shard assembly +
-    # cross-host collectives), so the gate must stay bit-tight. In bf16,
-    # the ~1e-7 cross-host psum reduction-order noise on the first BN's
-    # batch stats is amplified ~100-1000x by twelve bf16 renormalization
-    # roundings (measured round 4: 1.2e-7 rel at model0.bn1.mean ->
-    # 4.4e-5 rel on the step-1 loss — in BOTH composed and factored
-    # modes), which swamps a tight gate without indicating any collective
-    # bug. f32 keeps the amplification linear (~1e-7 stays ~1e-7). The
-    # bf16 collective math itself is covered in-process by
-    # test_train_step's 8-way SPMD==single gate.
+    # f32 trunk (default): this worker gates the PROCESS boundary (shard
+    # assembly + cross-host collectives), so the gate must stay bit-tight.
+    # In bf16, the ~1e-7 cross-host psum reduction-order noise on the
+    # first BN's batch stats is amplified ~100-1000x by twelve bf16
+    # renormalization roundings (measured round 4: 1.2e-7 rel at
+    # model0.bn1.mean -> 4.4e-5 rel on the step-1 loss — in BOTH composed
+    # and factored modes), which swamps a tight gate without indicating
+    # any collective bug. f32 keeps the amplification linear (~1e-7 stays
+    # ~1e-7). The production bf16 configuration's cross-process path is
+    # exercised end-to-end by the bf16 worker leg, gated at a tolerance
+    # band instead (test_distributed.py).
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, img_size=img, max_gts=g),
-        train=dataclasses.replace(cfg.train, bf16=False))
+        train=dataclasses.replace(cfg.train, bf16=(dtype == "bf16")))
     model = YuNet(cfg.model)
     mesh = Mesh(np.array(jax.devices()), ("dp",))
     b = 2 * GLOBAL_DEVICES  # global batch

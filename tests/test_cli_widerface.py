@@ -127,8 +127,10 @@ def test_train_cli_with_eval_hook(wider_fixture, tmp_path):
         "--work-dir", str(work),
         "--cfg-options", "data.img_size=160", "data.max_gts=16",
         "train.log_interval=2", f"test.score_thr={THR}",
+        "train.ema_momentum=0.0002",
         "--eval-interval", "80",
         "--eval-mode", "2",
+        "--eval-both-params",
         "--eval-ann", str(root / "labelv2.txt"),
         "--eval-img-prefix", str(root / "images"),
         "--eval-gt-dir", gt_dir,
@@ -138,6 +140,8 @@ def test_train_cli_with_eval_hook(wider_fixture, tmp_path):
     vals = [r for r in recs if r.get("mode") == "val"]
     assert vals, "no val metrics logged"
     assert {"easy", "medium", "hard"} <= set(vals[-1])
+    # --eval-both-params with EMA on: raw (non-EMA) APs logged alongside
+    assert {"raw_easy", "raw_medium", "raw_hard"} <= set(vals[-1])
 
 
 def test_compare_inference_cli(wider_fixture, tmp_path, yunet_n_pth):

@@ -45,9 +45,10 @@ def _clean_env():
     return env
 
 
-def _run_workers(nproc, port, out, _retried=False):
+def _run_workers(nproc, port, out, dtype="f32", _retried=False):
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(pid), str(nproc), str(port), out],
+        [sys.executable, WORKER, str(pid), str(nproc), str(port), out,
+         dtype],
         env=_clean_env(), cwd=REPO, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT) for pid in range(nproc)]
     logs = []
@@ -68,7 +69,8 @@ def _run_workers(nproc, port, out, _retried=False):
                 "\n[test_distributed] rendezvous timeout on first "
                 "attempt (startup skew on a contended box) — retrying "
                 "once with a fresh port\n")
-            return _run_workers(nproc, _free_port(), out, _retried=True)
+            return _run_workers(nproc, _free_port(), out, dtype,
+                                _retried=True)
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
     return logs
@@ -98,6 +100,34 @@ def test_two_process_training_matches_single_process(tmp_path):
                                rtol=2e-2, atol=1e-3)
     for k in a.files:
         np.testing.assert_allclose(a[k], b[k], rtol=2e-2, atol=1e-3,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
+def test_two_process_training_bf16_band(tmp_path):
+    """The production configuration trains bf16; the bit-tight gate above
+    runs f32 because cross-host psum reduction-order noise is amplified
+    ~100-1000x by bf16 renormalization roundings (dist_worker.py). This
+    leg runs the SAME 2-proc-vs-1-proc comparison with the bf16 trunk and
+    gates at a tolerance band, so the bf16 multi-process path (shard
+    assembly + cross-host collectives under bf16) stays exercised
+    end-to-end (advisor r4 finding #2)."""
+    out2 = str(tmp_path / "p2.npz")
+    out1 = str(tmp_path / "p1.npz")
+    _run_workers(2, _free_port(), out2, dtype="bf16")
+    _run_workers(1, _free_port(), out1, dtype="bf16")
+
+    a = np.load(out2)
+    b = np.load(out1)
+    assert set(a.files) == set(b.files)
+    # step-1 loss: the measured amplification is ~4.4e-5 rel; a wrong
+    # collective is an O(1) error, so 1e-3 rel is both safe and tight
+    np.testing.assert_allclose(a["__losses__"][:1], b["__losses__"][:1],
+                               rtol=1e-3)
+    np.testing.assert_allclose(a["__losses__"], b["__losses__"],
+                               rtol=5e-2, atol=5e-3)
+    for k in a.files:
+        np.testing.assert_allclose(a[k], b[k], rtol=5e-2, atol=5e-3,
                                    err_msg=k)
 
 

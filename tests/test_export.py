@@ -199,6 +199,7 @@ def test_onnx_weight_import_our_export(yunet_n_pth):
     assert folded["head"]["0"]["kps"]["wd"].shape == (3, 3, 1, 10)
 
 
+@pytest.mark.slow
 def test_tflite_export_parity(yunet_n_pth):
     """export_tflite -> tf.lite.Interpreter == JAX model (reference
     tools/yunet2tflite.py parity, conversion via tf.lite instead of
@@ -316,6 +317,7 @@ def test_yunet2onnx_cli_smoke(yunet_n_pth, tmp_path, capsys):
     assert "verify" in printed.lower() or "ok" in printed.lower()
 
 
+@pytest.mark.slow
 def test_tflite_int8_quantized_export(yunet_n_pth):
     """Full-integer PTQ export: converts, keeps the float32 I/O
     contract, and its outputs track the float model (correlation gate —

@@ -35,13 +35,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 FIXTURE = os.path.join(HERE, "fixtures", "r04_ema.npz")
 
-# Recorded at the round-4 rehearsal endpoint (docs/rehearsal_r04/):
-# mode-0 (640x640 letterbox) APs on the 64-image hard val split.
+# Expected APs are embedded in the fixture's meta record (written by
+# tools/misc/export_band_fixture.py at the rehearsal endpoint).
 # Band: +-0.05 absolute around the recorded value — an order of
 # magnitude wider than regeneration/runtime noise (the val split
 # regenerates bit-identically on this image's cv2), an order of
 # magnitude tighter than any protocol break.
-EXPECTED = None  # loaded from the fixture's embedded record
 BAND = 0.05
 
 
@@ -58,17 +57,18 @@ def hard_val(tmp_path_factory):
     return os.path.join(str(root), "val")
 
 
-@pytest.mark.slow
-def test_hard_tier_ap_band(hard_val):
+def _load_fixture(hard_val):
+    """Rebuild (cfg, train-state namespace, meta) from the committed
+    fixture, retargeted at the regenerated hard val split."""
     import dataclasses
 
+    import jax
+
     from yunet_tpu.config import yunet_n
-    from yunet_tpu.eval.eval_hook import make_wider_eval_hook
     from yunet_tpu.train.step import init_train_state
 
     blob = np.load(FIXTURE, allow_pickle=False)
     meta = json.loads(str(blob["meta"]))
-    expected = meta["mode0_aps"]
 
     cfg = yunet_n()
     cfg = dataclasses.replace(cfg, data=dataclasses.replace(
@@ -79,16 +79,25 @@ def test_hard_tier_ap_band(hard_val):
 
     # rebuild the param/state pytrees from the flat fixture arrays
     ts0, _ = init_train_state(cfg, steps_per_epoch=1, total_batch=1)
-    import jax
     pleaves, ptree = jax.tree_util.tree_flatten(ts0.params)
     sleaves, stree = jax.tree_util.tree_flatten(ts0.state)
     assert len(pleaves) == meta["n_params"], "fixture/model param mismatch"
+    assert len(sleaves) == meta.get("n_state", len(sleaves)), \
+        "fixture/model state-tree mismatch"
     params = jax.tree_util.tree_unflatten(
         ptree, [blob[f"p{i}"] for i in range(len(pleaves))])
     state = jax.tree_util.tree_unflatten(
         stree, [blob[f"s{i}"] for i in range(len(sleaves))])
-
     ts = types.SimpleNamespace(params=params, ema_params=None, state=state)
+    return cfg, ts, meta
+
+
+@pytest.mark.slow
+def test_hard_tier_ap_band(hard_val):
+    from yunet_tpu.eval.eval_hook import make_wider_eval_hook
+
+    cfg, ts, meta = _load_fixture(hard_val)
+    expected = meta["mode0_aps"]
     hook = make_wider_eval_hook(cfg, mode=(640, 640), use_ema=False)
     aps = hook(ts, step=meta["step"])
 
@@ -97,4 +106,27 @@ def test_hard_tier_ap_band(hard_val):
     # the operating point itself must stay unsaturated: if a future
     # dataset or recipe change pushes hard AP back to ~1.0, this gate
     # has silently stopped being discriminative — fail loudly instead
+    assert aps["hard"] < 0.97, aps
+
+
+@pytest.mark.slow
+def test_hard_tier_origin_size_ap_band(hard_val):
+    """Round-4 VERDICT missing #2: the headline protocol is ORIGIN-SIZE
+    eval (mode 2 — reference tools/test_widerface.py:84-96,
+    README.md:108-112), whose shape-bucketed sweep (pad_divisor buckets,
+    per-canvas jit cache, eval/detect.py detect_sweep) is the riskiest
+    eval path. Gate it against the recorded rehearsal-endpoint APs so it
+    cannot drift without a red test."""
+    from yunet_tpu.eval.eval_hook import make_wider_eval_hook
+
+    cfg, ts, meta = _load_fixture(hard_val)
+    if "mode2_aps" not in meta:
+        pytest.skip("fixture predates mode-2 recording — regenerate via "
+                    "tools/misc/export_band_fixture.py")
+    expected = meta["mode2_aps"]
+    hook = make_wider_eval_hook(cfg, mode="ORIGIN", use_ema=False)
+    aps = hook(ts, step=meta["step"])
+
+    for k in ("easy", "medium", "hard"):
+        assert abs(aps[k] - expected[k]) <= BAND, (aps, expected)
     assert aps["hard"] < 0.97, aps

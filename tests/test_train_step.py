@@ -294,3 +294,99 @@ def test_composed_dp_eval_forward_matches():
     for k in fa:
         np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
                                    rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# GhostBN (train.bn_group) — round-5 VERDICT #1: recipe-exact BN-16
+# statistics inside the large-batch program
+# ---------------------------------------------------------------------------
+
+def test_ghost_bn_primitive_matches_per_group_local_bn():
+    """batch_norm(group_size=g) == concatenated per-group local BN
+    outputs, and its running-stat update == the mean of the per-group
+    updates — exactly what per-shard local BN plus the pmean state sync
+    produce on a real N/g-device mesh (train/step.py:198)."""
+    from yunet_tpu.models.layers import batch_norm, bn_init
+
+    rng = np.random.RandomState(0)
+    n, h, w, c, g = 8, 5, 6, 12, 2
+    x = jnp.asarray(rng.normal(3.0, 2.0, (n, h, w, c)).astype(np.float32))
+    p, s = bn_init(c)
+    p = {"scale": p["scale"] * 1.3, "bias": p["bias"] + 0.2}
+    s = {"mean": jnp.asarray(rng.normal(0, 1, (c,)).astype(np.float32)),
+         "var": jnp.abs(jnp.asarray(
+             rng.normal(1, 0.2, (c,)).astype(np.float32)))}
+
+    y, ns = batch_norm(x, p, s, train=True, group_size=g)
+
+    ys, means, vars_ = [], [], []
+    for i in range(n // g):
+        yi, nsi = batch_norm(x[i * g:(i + 1) * g], p, s, train=True)
+        ys.append(yi)
+        means.append(nsi["mean"])
+        vars_.append(nsi["var"])
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(jnp.concatenate(ys, 0)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ns["mean"]),
+                               np.mean(np.asarray(means), 0),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ns["var"]),
+                               np.mean(np.asarray(vars_), 0),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_ghost_bn_one_group_is_plain_bn():
+    """group_size == N (one group) must be BIT-identical to group_size=0:
+    the whole-batch code path is shared, so enabling bn_group on a run
+    whose local batch already equals the group is a no-op."""
+    from yunet_tpu.models.layers import batch_norm, bn_init
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.normal(0, 1, (4, 3, 3, 8)).astype(np.float32))
+    p, s = bn_init(8)
+    y0, ns0 = batch_norm(x, p, s, train=True, group_size=0)
+    y1, ns1 = batch_norm(x, p, s, train=True, group_size=4)
+    assert np.array_equal(np.asarray(y0), np.asarray(y1))
+    assert np.array_equal(np.asarray(ns0["mean"]), np.asarray(ns1["mean"]))
+    assert np.array_equal(np.asarray(ns0["var"]), np.asarray(ns1["var"]))
+    with pytest.raises(ValueError):
+        batch_norm(x, p, s, train=True, group_size=3)
+
+
+def test_ghost_bn_step_matches_dp_mesh():
+    """THE GhostBN equivalence claim: a single-device step at batch 16
+    with bn_group=2 must reproduce an 8-device dp-mesh step on the same
+    global batch (DIFFERENT rows per shard — each shard normalizes with
+    its own local BN-2 statistics, which is exactly what the ghost
+    groups compute)."""
+    cfg = _small_cfg()
+    b, img, g = 16, 96, 2
+    batch = _batch(b, img, seed=7)
+
+    cfg_ghost = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, bn_group=g))
+    model = YuNet(cfg_ghost.model)
+    ts1, tx1 = init_train_state(cfg_ghost, steps_per_epoch=10,
+                                total_batch=b)
+    step1 = make_train_step(cfg_ghost, model, tx1, img_size=img)
+    out1, m1 = step1(ts1, batch)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    ts8, tx8 = init_train_state(cfg, steps_per_epoch=10, total_batch=b)
+    step8 = make_train_step(cfg, model, tx8, img_size=img, mesh=mesh)
+    out8, m8 = step8(ts8, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["num_pos"]), float(m8["num_pos"]))
+    l1 = jax.tree_util.tree_leaves(out1.params)
+    l8 = jax.tree_util.tree_leaves(out8.params)
+    for a, c in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-3, atol=3e-5)
+    s1 = jax.tree_util.tree_leaves(out1.state)
+    s8 = jax.tree_util.tree_leaves(out8.state)
+    for a, c in zip(s1, s8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-6)

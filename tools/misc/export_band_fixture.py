@@ -1,14 +1,17 @@
 #!/usr/bin/env python
 """Export the hard-tier band-gate fixture (tests/test_hard_band.py).
 
-Loads the dress-rehearsal endpoint checkpoint (EMA parameters), runs the
-mode-0 (640x640 letterbox) WIDER protocol over the hard val split to
-record the reference APs, and writes everything the gate needs into one
-npz: flat param/state leaves (tree_flatten order) + a JSON meta record.
+Loads the dress-rehearsal endpoint checkpoint (EMA parameters when the
+checkpoint carries them), runs the mode-0 (640x640 letterbox) AND the
+mode-2 (origin-size, the reference's headline protocol —
+/root/reference/tools/test_widerface.py:84-96) WIDER protocols over the
+hard val split to record the reference APs, and writes everything the
+gate needs into one npz: flat param/state leaves (tree_flatten order) +
+a JSON meta record.
 
   python tools/misc/export_band_fixture.py \
-      --ckpt work_dirs/rehearsal_r04/ckpt_00002400 \
-      --data data/synth_wider_hard --out tests/fixtures/r04_ema.npz
+      --ckpt work_dirs/rehearsal_r05/ckpt_XXXX \
+      --data data/synth_wider_hard --out tests/fixtures/r05_band.npz
 """
 
 import argparse
@@ -58,10 +61,14 @@ def main(argv=None):
     step = int(meta.get("step", -1))
     print(f"checkpoint {args.ckpt} (step {step}, EMA params)")
 
+    fake_ts = types.SimpleNamespace(params=params, ema_params=None,
+                                    state=ts.state)
     hook = make_wider_eval_hook(cfg, mode=(640, 640), use_ema=False)
-    aps = hook(types.SimpleNamespace(params=params, ema_params=None,
-                                     state=ts.state), step=step)
+    aps = hook(fake_ts, step=step)
     print(f"mode-0 APs on {val}: {aps}")
+    hook2 = make_wider_eval_hook(cfg, mode="ORIGIN", use_ema=False)
+    aps2 = hook2(fake_ts, step=step)
+    print(f"mode-2 (origin-size) APs on {val}: {aps2}")
 
     pleaves = jax.tree_util.tree_leaves(params)
     sleaves = jax.tree_util.tree_leaves(ts.state)
@@ -71,8 +78,11 @@ def main(argv=None):
                  for i, l in enumerate(sleaves)})
     blob["meta"] = json.dumps({
         "step": step, "ckpt": args.ckpt, "data": args.data,
-        "n_params": len(pleaves), "mode0_aps": aps})
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        "n_params": len(pleaves), "n_state": len(sleaves),
+        "mode0_aps": aps, "mode2_aps": aps2})
+    d = os.path.dirname(args.out)
+    if d:
+        os.makedirs(d, exist_ok=True)
     np.savez_compressed(args.out, **blob)
     print(f"wrote {args.out} "
           f"({os.path.getsize(args.out) / 1024:.0f} KiB)")

@@ -38,6 +38,9 @@ def main(argv=None):
                     "space-to-depth stem (both compiled up front; "
                     "windows alternate to cancel tunnel drift)")
     args = ap.parse_args(argv)
+    if args.ab_stem and args.ab_composed:
+        ap.error("--ab-stem and --ab-composed are separate A/B sessions; "
+                 "pass one at a time")
 
     import numpy as np
     import jax

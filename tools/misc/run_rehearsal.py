@@ -46,14 +46,18 @@ def train_cmd(args):
         f"data.val_ann={d}/val/labelv2.txt",
         f"data.val_img_prefix={d}/val/images/",
         f"data.gt_dir={d}/val/gt/",
-        "data.device_aug=true",
+        f"data.device_aug={'true' if args.device_aug else 'false'}",
         f"data.samples_per_device={args.batch}",
         f"train.max_epochs={args.epochs}",
         f"train.ema_momentum={args.ema_momentum}",
     ]
     if args.lr is not None:
         cmd.append(f"train.lr={args.lr}")
+    if args.decoded_cache:
+        cmd.append(f"data.decoded_cache={args.decoded_cache}")
     cmd += args.cfg_options
+    if args.eval_both_params:
+        cmd.append("--eval-both-params")
     return cmd
 
 
@@ -96,7 +100,12 @@ def check_resume_bitexact(metrics_path):
     dup, exact = 0, 0
     with open(metrics_path) as f:
         for ln in f:
-            r = json.loads(ln)
+            try:
+                r = json.loads(ln)
+            except json.JSONDecodeError:
+                # a SIGKILLed leg 1 can leave a truncated trailing line
+                # that leg 2 then appends after — skip it, as run_leg does
+                continue
             if r.get("mode") != "train":
                 continue
             s = r["step"]
@@ -126,6 +135,19 @@ def main(argv=None):
     p.add_argument("--kill-at", type=int, default=0,
                    help="SIGKILL the first leg at this train step, then "
                         "auto-resume (0 = single uninterrupted leg)")
+    p.add_argument("--device-aug", dest="device_aug", action="store_true",
+                   default=True,
+                   help="HBM-staged bank + on-device aug (default)")
+    p.add_argument("--no-device-aug", dest="device_aug",
+                   action="store_false",
+                   help="host cv2 pipeline instead (the path for datasets "
+                        "the HBM capacity guard rejects on one chip)")
+    p.add_argument("--decoded-cache", default=None,
+                   help="decoded-image cache dir for the host pipeline "
+                        "(data/cache.py; one-time decode -> mmap)")
+    p.add_argument("--eval-both-params", action="store_true",
+                   help="evaluate BOTH EMA and raw params each interval "
+                        "(raw_* metrics) — in-run EMA A/B")
     p.add_argument("--cfg-options", nargs="*", default=[],
                    help="extra dotted overrides appended to the trainer's")
     args = p.parse_args(argv)
@@ -158,7 +180,10 @@ def main(argv=None):
     vals = []
     with open(metrics) as f:
         for ln in f:
-            r = json.loads(ln)
+            try:
+                r = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
             if r.get("mode") == "val":
                 vals.append(r)
     print(f"[rehearsal] done in {time.time() - t0:.0f}s; val records:",

@@ -47,6 +47,10 @@ def parse_args(argv=None):
                    help="20 steps on synthetic data (no dataset needed)")
     p.add_argument("--cfg-options", nargs="*", default=[],
                    help="dotted config overrides, e.g. train.lr=0.02")
+    p.add_argument("--force-experimental", action="store_true",
+                   help="allow measured-and-parked flag combinations "
+                   "(e.g. train.fused_kernels, model.remat_stages) that "
+                   "config validation otherwise rejects")
     p.add_argument("--eval-interval", type=int, default=0,
                    help="run WIDER val AP every N epochs (0 = off; the "
                    "reference EvalHook interval, configs/yunet_n.py:146)")
@@ -58,6 +62,10 @@ def parse_args(argv=None):
     p.add_argument("--eval-ann", default=None)
     p.add_argument("--eval-img-prefix", default=None)
     p.add_argument("--eval-gt-dir", default=None)
+    p.add_argument("--eval-both-params", action="store_true",
+                   help="when EMA is enabled, also evaluate the RAW "
+                   "parameters each interval (raw_* metrics) — one run "
+                   "yields the EMA-vs-raw A/B trajectory")
     p.add_argument("--eval-device-nms", action="store_true",
                    help="fuse whole-batch Pallas NMS into the eval sweep "
                    "and read back only packed top-k rows (fast on slow "
@@ -83,11 +91,13 @@ def main(argv=None):
     import numpy as np
     from jax.sharding import Mesh
 
-    from yunet_tpu.config import apply_overrides, get_config
+    from yunet_tpu.config import (apply_overrides, get_config,
+                                  validate_config)
     from yunet_tpu.train.loop import fit
 
     cfg = get_config(args.config)
     cfg = apply_overrides(cfg, args.cfg_options)
+    cfg = validate_config(cfg, force_experimental=args.force_experimental)
     if args.seed is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, seed=args.seed))
@@ -120,6 +130,7 @@ def main(argv=None):
             cfg, mode=widerface_eval_mode(args.eval_mode),
             ann=args.eval_ann, img_prefix=args.eval_img_prefix,
             gt_dir=args.eval_gt_dir, limit=args.eval_limit, mesh=mesh,
+            also_raw=args.eval_both_params,
             use_device_nms=args.eval_device_nms)
 
     ts = fit(cfg, work_dir=args.work_dir, resume_from=args.resume_from,

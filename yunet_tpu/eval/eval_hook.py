@@ -77,6 +77,7 @@ def make_wider_eval_hook(cfg: Config, *,
                          pad_divisor: int = 32,
                          limit: int = 0,
                          use_ema: bool = True,
+                         also_raw: bool = False,
                          mesh=None,
                          use_device_nms: bool = False,
                          device_nms_top_k: int = 750):
@@ -84,6 +85,11 @@ def make_wider_eval_hook(cfg: Config, *,
 
     limit: evaluate only the first N val images (0 = all) — useful to keep
     in-training eval cheap; the reported APs then cover that subset.
+    also_raw: when EMA parameters are present AND use_ema, additionally
+    sweep the RAW (non-EMA) parameters each interval and report their APs
+    under ``raw_easy/raw_medium/raw_hard`` — one training run then yields
+    the full EMA-vs-raw A/B trajectory (the reference's shipped configs
+    do not enable EMA; core/hook/ema.py is library surface).
     mesh: optional jax device mesh — the sweep's batched forwards then
     shard their rows over all local devices instead of leaving every chip
     but one idle during in-training eval (the multi_gpu_test role,
@@ -117,7 +123,7 @@ def make_wider_eval_hook(cfg: Config, *,
             from jax.sharding import Mesh
             det.mesh = Mesh(np.array(local), ("dp",))
 
-    def hook(ts, step):
+    def _sweep(params, state):
         import jax
         import jax.numpy as jnp
         # multi-process: each process sweeps a round-robin shard of the
@@ -129,12 +135,10 @@ def make_wider_eval_hook(cfg: Config, *,
         pcount, pidx = jax.process_count(), jax.process_index()
         my_records = records[pidx::pcount] if pcount > 1 else records
         from ..train.checkpoint import to_host
-        params = (ts.ema_params
-                  if use_ema and ts.ema_params is not None else ts.params)
         det.params = jax.tree.map(lambda x: jnp.asarray(to_host(x)),
                                   params)
         det.state = jax.tree.map(lambda x: jnp.asarray(to_host(x)),
-                                 ts.state)
+                                 state)
 
         def load(rec):
             img = cv2.imread(os.path.join(img_prefix, rec.filename))
@@ -167,5 +171,15 @@ def make_wider_eval_hook(cfg: Config, *,
         easy, medium, hard = wider_evaluation(results, gt_dir)
         return {"easy": float(easy), "medium": float(medium),
                 "hard": float(hard)}
+
+    def hook(ts, step):
+        ema_active = use_ema and ts.ema_params is not None
+        params = ts.ema_params if ema_active else ts.params
+        aps = _sweep(params, ts.state)
+        if ema_active and also_raw:
+            raw = _sweep(ts.params, ts.state)
+            if aps is not None and raw is not None:
+                aps.update({f"raw_{k}": v for k, v in raw.items()})
+        return aps
 
     return hook

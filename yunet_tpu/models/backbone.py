@@ -86,6 +86,7 @@ def yunet_backbone(p: Params, s: State, x: jnp.ndarray, *,
                    downsample_idx: Sequence[int], out_idx: Sequence[int],
                    train: bool = False, fused: bool = False,
                    composed: bool = False,
+                   bn_group: int = 0,
                    remat_stages: Sequence[int] = ()
                    ) -> Tuple[List[jnp.ndarray], State]:
     num_stages = len(p)
@@ -95,7 +96,7 @@ def yunet_backbone(p: Params, s: State, x: jnp.ndarray, *,
         name = f"model{i}"
         fn = conv_head if i == 0 else conv4layer_block
         call = functools.partial(fn, train=train, fused=fused,
-                                 composed=composed)
+                                 composed=composed, bn_group=bn_group)
         if train and i in remat_stages:
             # recompute this stage's intermediates in the backward pass
             # instead of round-tripping them through HBM (see

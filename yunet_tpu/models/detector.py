@@ -43,7 +43,7 @@ class YuNet:
 
     # -- forward ------------------------------------------------------------
     def extract_feat(self, params, state, x, *, train: bool = False,
-                     fused: bool = False):
+                     fused: bool = False, bn_group: int = 0):
         # composed mode is a training-traffic optimization; eval/serve
         # forwards keep the factored pair (the serve path has its own
         # per-batch fused/plain selection, and the intermediates are
@@ -53,31 +53,38 @@ class YuNet:
             params["backbone"], state["backbone"], x,
             downsample_idx=self.cfg.downsample_idx,
             out_idx=self.cfg.out_idx, train=train, fused=fused,
-            composed=composed, remat_stages=self.cfg.remat_stages)
+            composed=composed, bn_group=bn_group,
+            remat_stages=self.cfg.remat_stages)
         feats, ns_n = tfpn(params["neck"], state["neck"], feats,
                            out_idx=tuple(range(len(feats))), train=train,
-                           fused=fused, composed=composed)
+                           fused=fused, composed=composed,
+                           bn_group=bn_group)
         return feats, {"backbone": ns_b, "neck": ns_n}
 
     def forward(self, params, state, x, *, train: bool = False,
-                fused: bool = False):
+                fused: bool = False, bn_group: int = 0):
         """x: (B, H, W, 3) raw 0-255 BGR float (the network eats unnormalized
         pixels; reference img_norm_cfg is identity, configs/yunet_n.py:27).
+
+        bn_group: GhostBN group size for train-mode BatchNorm statistics
+        (0 = whole local batch; see models/layers.py batch_norm).
 
         Returns (per-level output dict, new_state).
         """
         feats, ns = self.extract_feat(params, state, x, train=train,
-                                      fused=fused)
+                                      fused=fused, bn_group=bn_group)
         outs, ns_h = yunet_head(params["head"], state["head"], feats,
                                 train=train, fused=fused,
-                                composed=self.cfg.composed_dp and train)
+                                composed=self.cfg.composed_dp and train,
+                                bn_group=bn_group)
         ns["head"] = ns_h
         return outs, ns
 
     def forward_flat(self, params, state, x, *, train: bool = False,
-                     fused: bool = False):
+                     fused: bool = False, bn_group: int = 0):
         """Forward + per-level flatten to (B, P, C) tensors (prior order)."""
-        outs, ns = self.forward(params, state, x, train=train, fused=fused)
+        outs, ns = self.forward(params, state, x, train=train, fused=fused,
+                                bn_group=bn_group)
         return flatten_level_outputs(outs), ns
 
     def feature_test(self, params, state, x) -> List[jnp.ndarray]:

@@ -55,7 +55,7 @@ def yunet_head_init(key, *, num_levels: int, in_channels: int,
 
 def yunet_head(p: Params, s: State, feats: List[jnp.ndarray], *,
                train: bool = False, fused: bool = False,
-               composed: bool = False
+               composed: bool = False, bn_group: int = 0
                ) -> Tuple[Dict[str, List[jnp.ndarray]], State]:
     """Returns dict of per-level NHWC maps: cls, bbox, obj, kps."""
     new_s: Dict[str, Any] = {b: {} for b in s}
@@ -74,7 +74,7 @@ def yunet_head(p: Params, s: State, feats: List[jnp.ndarray], *,
                 feat, stack_new[i] = conv_dp_unit(
                     p["multi_level_share_convs"][l][i],
                     s["multi_level_share_convs"][l][i], feat, train=train,
-                    fused=fused, composed=composed)
+                    fused=fused, composed=composed, bn_group=bn_group)
             new_s["multi_level_share_convs"][l] = stack_new
         # The four prediction branches run as ONE ConvDPUnit whose
         # weights are the branch weights concatenated along the output

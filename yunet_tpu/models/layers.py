@@ -57,7 +57,8 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
 
 def batch_norm(x: jnp.ndarray, p: Params, s: State, *, train: bool,
                momentum: float = BN_MOMENTUM,
-               eps: float = BN_EPS) -> Tuple[jnp.ndarray, State]:
+               eps: float = BN_EPS,
+               group_size: int = 0) -> Tuple[jnp.ndarray, State]:
     """BatchNorm over (N, H, W). In train mode normalizes with the *local*
     batch statistics of this shard (matching the reference's per-GPU
     non-sync BN) and returns updated running stats; in eval mode uses the
@@ -66,9 +67,24 @@ def batch_norm(x: jnp.ndarray, p: Params, s: State, *, train: bool,
     The variance used for normalization is the biased (population) batch
     variance; the running-var update uses the unbiased estimate — both
     exactly as torch.nn.BatchNorm2d does.
+
+    group_size > 0 enables **GhostBN**: statistics are computed over
+    fixed groups of ``group_size`` samples inside the batch (reshape
+    (N,…) -> (N/g, g, …), normalize per group), reproducing the
+    reference's per-GPU local-BN noise (batch-16 statistics per GPU,
+    configs/yunet_n.py:30 samples_per_gpu=16) inside a single large-batch
+    program. The running-stat update averages the per-group stats —
+    exactly what per-shard local BN + the pmean state sync produce on a
+    real N/g-device mesh. 0 (or group_size >= N) keeps whole-batch
+    statistics and is bit-identical to the pre-GhostBN code path.
     """
     scale, bias = p["scale"], p["bias"]
     if train:
+        n_b = x.shape[0]
+        g = group_size if 0 < group_size < n_b else n_b
+        if n_b % g:
+            raise ValueError(
+                f"GhostBN group_size {g} does not divide batch {n_b}")
         xf = x.astype(jnp.float32)
         # single-pass stats: E[x-c] and E[(x-c)^2] reduce the SAME read,
         # so XLA fuses them into one pass over x — the centered two-pass
@@ -78,15 +94,37 @@ def batch_norm(x: jnp.ndarray, p: Params, s: State, *, train: bool,
         # high-mean low-variance channels (advisor r2 finding #1).
         shift = jax.lax.stop_gradient(s["mean"].astype(jnp.float32))
         xc = xf - shift
-        mean_c = jnp.mean(xc, axis=(0, 1, 2))
-        mean_sq = jnp.mean(jnp.square(xc), axis=(0, 1, 2))
-        var = jnp.maximum(mean_sq - jnp.square(mean_c), 0.0)
-        mean = mean_c + shift
-        n = x.shape[0] * x.shape[1] * x.shape[2]
-        unbiased = var * (n / max(n - 1, 1))
+        n = g * x.shape[1] * x.shape[2]
+        if g == n_b:
+            mean_c = jnp.mean(xc, axis=(0, 1, 2))
+            mean_sq = jnp.mean(jnp.square(xc), axis=(0, 1, 2))
+            var = jnp.maximum(mean_sq - jnp.square(mean_c), 0.0)
+            mean = mean_c + shift
+            unbiased = var * (n / max(n - 1, 1))
+            mean_upd, var_upd = mean, unbiased
+        else:
+            ng = n_b // g
+            xg = xc.reshape(ng, g, *x.shape[1:])
+            mean_c = jnp.mean(xg, axis=(1, 2, 3))            # (ng, C)
+            mean_sq = jnp.mean(jnp.square(xg), axis=(1, 2, 3))
+            var_g = jnp.maximum(mean_sq - jnp.square(mean_c), 0.0)
+            unbiased = var_g * (n / max(n - 1, 1))
+            mean_g = mean_c + shift                          # (ng, C)
+            mean_upd = jnp.mean(mean_g, axis=0)
+            var_upd = jnp.mean(unbiased, axis=0)
+            # per-group normalization, broadcast over (g, H, W); same
+            # x - (mean_c + shift) association as the whole-batch path
+            bc = (slice(None), None, None, None)
+            inv_g = jax.lax.rsqrt(var_g + eps) * scale
+            y = (xf.reshape(xg.shape) - mean_g[bc]) * inv_g[bc] + bias
+            new_state = {
+                "mean": (1.0 - momentum) * s["mean"] + momentum * mean_upd,
+                "var": (1.0 - momentum) * s["var"] + momentum * var_upd,
+            }
+            return y.reshape(x.shape).astype(x.dtype), new_state
         new_state = {
-            "mean": (1.0 - momentum) * s["mean"] + momentum * mean,
-            "var": (1.0 - momentum) * s["var"] + momentum * unbiased,
+            "mean": (1.0 - momentum) * s["mean"] + momentum * mean_upd,
+            "var": (1.0 - momentum) * s["var"] + momentum * var_upd,
         }
     else:
         mean, var = s["mean"], s["var"]
@@ -214,7 +252,8 @@ def _composed_pw_dw(p: Params, x: jnp.ndarray, b2) -> jnp.ndarray:
 def conv_dp_unit(p: Params, s: State, x: jnp.ndarray, *,
                  train: bool = False,
                  fused: bool = False,
-                 composed: bool = False) -> Tuple[jnp.ndarray, State]:
+                 composed: bool = False,
+                 bn_group: int = 0) -> Tuple[jnp.ndarray, State]:
     b2 = p["conv2"]["b"]
     if "bn" in p:
         b2 = _bn_covered_bias(b2, train)
@@ -237,7 +276,8 @@ def conv_dp_unit(p: Params, s: State, x: jnp.ndarray, *,
         x = conv2d(x, p["conv2"]["w"], b2, padding=1,
                    depthwise=True)
     if "bn" in p:
-        x, new_bn = batch_norm(x, p["bn"], s["bn"], train=train)
+        x, new_bn = batch_norm(x, p["bn"], s["bn"], train=train,
+                               group_size=bn_group)
         return relu(x), {"bn": new_bn}
     return x, {}
 
@@ -258,13 +298,16 @@ def conv_head_init(key, cin: int, cmid: int,
 def conv_head(p: Params, s: State, x: jnp.ndarray, *,
               train: bool = False,
               fused: bool = False,
-              composed: bool = False) -> Tuple[jnp.ndarray, State]:
+              composed: bool = False,
+              bn_group: int = 0) -> Tuple[jnp.ndarray, State]:
     x = conv2d(x, p["conv1"]["w"], _bn_covered_bias(p["conv1"]["b"], train),
                stride=2, padding=1)
-    x, new_bn1 = batch_norm(x, p["bn1"], s["bn1"], train=train)
+    x, new_bn1 = batch_norm(x, p["bn1"], s["bn1"], train=train,
+                            group_size=bn_group)
     x = relu(x)
     x, new_conv2 = conv_dp_unit(p["conv2"], s["conv2"], x, train=train,
-                                fused=fused, composed=composed)
+                                fused=fused, composed=composed,
+                                bn_group=bn_group)
     return x, {"bn1": new_bn1, "conv2": new_conv2}
 
 
@@ -283,9 +326,10 @@ def conv4layer_block_init(key, cin: int, cout: int,
 def conv4layer_block(p: Params, s: State, x: jnp.ndarray, *,
                      train: bool = False,
                      fused: bool = False,
-                     composed: bool = False) -> Tuple[jnp.ndarray, State]:
+                     composed: bool = False,
+                     bn_group: int = 0) -> Tuple[jnp.ndarray, State]:
     x, n1 = conv_dp_unit(p["conv1"], s["conv1"], x, train=train,
-                         fused=fused, composed=composed)
+                         fused=fused, composed=composed, bn_group=bn_group)
     x, n2 = conv_dp_unit(p["conv2"], s["conv2"], x, train=train,
-                         fused=fused, composed=composed)
+                         fused=fused, composed=composed, bn_group=bn_group)
     return x, {"conv1": n1, "conv2": n2}

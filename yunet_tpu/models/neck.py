@@ -35,16 +35,18 @@ def tfpn_init(key, in_channels: Sequence[int]) -> Tuple[Params, State]:
 
 def tfpn(p: Params, s: State, feats: List[jnp.ndarray], *,
          out_idx: Sequence[int], train: bool = False, fused: bool = False,
-         composed: bool = False) -> Tuple[List[jnp.ndarray], State]:
+         composed: bool = False,
+         bn_group: int = 0) -> Tuple[List[jnp.ndarray], State]:
     feats = list(feats)
     new_s: Dict[str, Any] = {"lateral_convs": {}}
     num = len(feats)
     for i in range(num - 1, 0, -1):
         feats[i], new_s["lateral_convs"][str(i)] = conv_dp_unit(
             p["lateral_convs"][str(i)], s["lateral_convs"][str(i)],
-            feats[i], train=train, fused=fused, composed=composed)
+            feats[i], train=train, fused=fused, composed=composed,
+            bn_group=bn_group)
         feats[i - 1] = feats[i - 1] + upsample2x_nearest(feats[i])
     feats[0], new_s["lateral_convs"]["0"] = conv_dp_unit(
         p["lateral_convs"]["0"], s["lateral_convs"]["0"], feats[0],
-        train=train, fused=fused, composed=composed)
+        train=train, fused=fused, composed=composed, bn_group=bn_group)
     return [feats[i] for i in out_idx], new_s

@@ -99,7 +99,8 @@ def loss_fn(model: YuNet, cfg: Config, params, state,
     elif not jnp.issubdtype(images.dtype, jnp.floating):
         images = images.astype(jnp.float32)
     flat, new_state = model.forward_flat(params, state, images, train=True,
-                                         fused=cfg.train.fused_kernels)
+                                         fused=cfg.train.fused_kernels,
+                                         bn_group=cfg.train.bn_group)
     cls_l = flat["cls"].astype(jnp.float32)       # (B, P, C)
     obj_l = flat["obj"][..., 0].astype(jnp.float32)  # (B, P)
     bbox_p = flat["bbox"].astype(jnp.float32)     # (B, P, 4)
@@ -120,16 +121,33 @@ def loss_fn(model: YuNet, cfg: Config, params, state,
         use_pallas=None if cfg.train.pallas_simota else False)
     tgt = jax.lax.stop_gradient(tgt)
 
+    # GhostBN groups are virtual replicas: with bn_group=g on a local
+    # batch B, the g-sample groups must reproduce the loss semantics of
+    # B/g real devices at batch g each — the reference normalizes by the
+    # mean over GPUs of per-GPU positive counts (reduce_mean at
+    # yunet_head.py:493-497) and computes the kps avg_factor per GPU
+    # (yunet_head.py:518-527; DDP then averages per-GPU losses). Without
+    # this, a GhostBN-16 b128 run would normalize kps by the GLOBAL
+    # kps-weight sum (ratio of sums != mean of per-replica ratios) and
+    # floor num_pos at 1 globally instead of per replica mean.
+    b_local = images.shape[0]
+    g = cfg.train.bn_group
+    ng = b_local // g if 0 < g < b_local else 1
+
     local_pos = tgt["num_pos"].sum()
     if axis_name is not None:
         # reference normalizer: mean over replicas of per-replica pos counts
         # (reduce_mean at yunet_head.py:493-497)
-        num_pos = jax.lax.pmean(local_pos, axis_name)
+        num_pos = jax.lax.pmean(local_pos, axis_name) / ng
         global_pos = jax.lax.psum(local_pos, axis_name)
     else:
-        num_pos = local_pos
+        num_pos = local_pos / ng
         global_pos = local_pos
-    n = jnp.maximum(num_pos, 1.0)
+    # n = (virtual replica count) * max(mean per-replica positives, 1):
+    # sum-based losses below divide their LOCAL sums by it; the pmean of
+    # the resulting per-shard losses equals the reference's mean over
+    # replicas of per-replica normalized losses
+    n = ng * jnp.maximum(num_pos, 1.0)
 
     fg = tgt["fg"].astype(jnp.float32)            # (B, P)
     loss_cls = (bce_with_logits(cls_l, tgt["cls"]).sum(-1) * fg).sum() / n
@@ -140,8 +158,15 @@ def loss_fn(model: YuNet, cfg: Config, params, state,
 
     enc_kps = kps_encode(priors, tgt["kps"])      # (B, P, 2K)
     kw = tgt["kps_weight"]                        # (B, P)
-    loss_kps = (smooth_l1(kps_p, enc_kps, cfg.loss.kps_beta)
-                * kw[..., None]).sum() / jnp.maximum(kw.sum(), 1e-6)
+    kps_num_tot = (smooth_l1(kps_p, enc_kps, cfg.loss.kps_beta)
+                   * kw[..., None])
+    if ng == 1:
+        loss_kps = kps_num_tot.sum() / jnp.maximum(kw.sum(), 1e-6)
+    else:
+        # per-virtual-replica avg_factor, mean over replicas
+        kn = kps_num_tot.reshape(ng, -1).sum(1)
+        kd = kw.reshape(ng, -1).sum(1)
+        loss_kps = (kn / jnp.maximum(kd, 1e-6)).mean()
 
     total = (cfg.loss.cls_weight * loss_cls
              + cfg.loss.obj_weight * loss_obj
