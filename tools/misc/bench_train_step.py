@@ -74,6 +74,9 @@ def main(argv=None):
                     help="comma list of backbone remat plans: none, or "
                          "digit strings like 0 / 01 / 012 naming the "
                          "stages to jax.checkpoint")
+    ap.add_argument("--bn-group", default="0",
+                    help="comma list of GhostBN group sizes "
+                         "(train.bn_group; 0 = whole-batch BN)")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -106,12 +109,14 @@ def main(argv=None):
 
     remats = args.remat.split(",")
     convdps = args.convdp.split(",")
-    for pool, dt, sim, bnb, rm, cdp in itertools.product(
-            pools, dtypes, simotas, bn_biases, remats, convdps):
+    bn_groups = [int(x) for x in args.bn_group.split(",")]
+    for pool, dt, sim, bnb, rm, cdp, bng in itertools.product(
+            pools, dtypes, simotas, bn_biases, remats, convdps, bn_groups):
         stages = () if rm == "none" else tuple(int(c) for c in rm)
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, remat_stages=stages,
-                                           composed_dp=(cdp == "composed")))
+                                           composed_dp=(cdp == "composed")),
+            train=dataclasses.replace(cfg.train, bn_group=bng))
         backbone.max_pool2x = pool_impls[pool]
         layers._bn_covered_bias = (bn_bias_orig if bnb == "skip"
                                    else lambda b, train: b)
@@ -135,7 +140,8 @@ def main(argv=None):
         ts, m = step(ts, batch)                       # compile
         jax.block_until_ready(m["loss"])
         variants.append({"name": f"pool={pool},dtype={dt},simota={sim},"
-                                 f"bn_bias={bnb},remat={rm},convdp={cdp}",
+                                 f"bn_bias={bnb},remat={rm},convdp={cdp},"
+                                 f"bn_group={bng}",
                          "step": step, "ts": ts, "batch": batch,
                          "vals": []})
         print(f"compiled {variants[-1]['name']}", file=sys.stderr)
