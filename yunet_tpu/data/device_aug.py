@@ -158,9 +158,27 @@ class ImageBank:
                 sharding, self.images)
         per_img = self.images[0].nbytes
         step = max(chunk_mb * (1 << 20) // per_img, 1)
-        parts = [jax.device_put(self.images[i:i + step])
-                 for i in range(0, len(self.images), step)]
-        bank = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        if step >= len(self.images):
+            bank = jax.device_put(self.images)
+        else:
+            # Write each staged chunk into a donated preallocated bank:
+            # peak HBM = bank + one chunk. The previous
+            # concatenate(parts) materialized all parts AND the result
+            # simultaneously (2x bank + temps) — a 10.9 GB bank OOMed a
+            # 15.75 GB chip at staging while fitting fine at steady
+            # state (round-5 XL rehearsal, docs/rehearsal_r05/).
+            import functools
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def _write(bank, chunk, at):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    bank, chunk, at, axis=0)
+
+            bank = jnp.zeros(self.images.shape, self.images.dtype)
+            for i in range(0, len(self.images), step):
+                chunk = jax.device_put(self.images[i:i + step])
+                bank = _write(bank, chunk, jnp.int32(i))
+                del chunk
         if sharding is not None:
             bank = jax.device_put(bank, sharding)
         return bank
