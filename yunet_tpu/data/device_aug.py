@@ -142,9 +142,17 @@ class ImageBank:
             "(no HBM cost, needs host decode + wire bandwidth)."
         )
 
-    def to_device(self, sharding=None, chunk_mb: int = 96):
+    def to_device(self, sharding=None, chunk_mb: int = 96, fmt=None):
         """Stage the bank into HBM (chunked puts: a single multi-GB RPC
         stalls some transports). Returns a device array.
+
+        fmt: an optional jax.experimental.layout.Format to stage INTO
+        (the train step's preferred bank operand layout, probed by
+        train/step.py probe_bank_step). Staging directly in the
+        consumer's layout removes the full-bank relayout copy XLA
+        otherwise inserts inside the step — which both doubles staging
+        HBM (OOM at 10.9 GB on a 15.75 GB chip) and taxes every step
+        (the round-4 roofline's layout_copies line).
 
         With a non-fully-addressable sharding (multi-process mesh) the
         global array is assembled from this process's local block via
@@ -158,6 +166,29 @@ class ImageBank:
                 sharding, self.images)
         per_img = self.images[0].nbytes
         step = max(chunk_mb * (1 << 20) // per_img, 1)
+        if fmt is not None:
+            # allocate the bank in the target layout, then write each
+            # staged chunk into it (donated: in-place): peak HBM =
+            # bank + one chunk, and the result needs no further copy
+            import functools
+
+            @functools.partial(jax.jit, out_shardings=fmt)
+            def _alloc():
+                return jnp.zeros(self.images.shape, self.images.dtype)
+
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               in_shardings=(fmt, None, None),
+                               out_shardings=fmt)
+            def _write_fmt(bank, chunk, at):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    bank, chunk, at, axis=0)
+
+            bank = _alloc()
+            for i in range(0, len(self.images), step):
+                chunk = jax.device_put(self.images[i:i + step])
+                bank = _write_fmt(bank, chunk, jnp.int32(i))
+                del chunk
+            return bank
         if step >= len(self.images):
             bank = jax.device_put(self.images)
         else:

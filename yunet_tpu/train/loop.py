@@ -137,6 +137,7 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
         stats = SampleSizeStatistics()
 
     bank_dev = None
+    loader_it = iter(loader)
     if hasattr(loader, "bank"):
         # HBM-staged dataset: one-time device transfer, then injected
         # into every batch (the step resamples crops on device)
@@ -145,8 +146,30 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(
                 mesh, P("dp") if cfg.data.bank_sharded else P())
+        bank_fmt = None
+        if mesh is None:
+            # single-device: compile the step with the bank operand
+            # layout chosen by XLA and stage straight into it — avoids a
+            # full-bank relayout copy inside the step (OOM at XL scale,
+            # a per-step tax at any scale; train/step.py probe_bank_step)
+            import itertools
+
+            from .step import probe_bank_step
+            first = next(loader_it)
+            loader_it = itertools.chain([first], loader_it)
+            probe = probe_bank_step(
+                cfg, model, tx, img_size=cfg.data.img_size, ts=ts,
+                batch_np={k: v for k, v in first.items()
+                          if k != "num_overflow"},
+                bank_shape=loader.bank.images.shape)
+            if probe is not None:
+                step_fn, bank_fmt = probe
+                logger.info(
+                    "bank layout probe: step compiled with bank "
+                    f"layout {bank_fmt.layout.major_to_minor} "
+                    "(major->minor); staging in that layout")
         t_stage = time.time()
-        bank_dev = loader.bank.to_device(repl)
+        bank_dev = loader.bank.to_device(repl, fmt=bank_fmt)
         jax.block_until_ready(bank_dev)
         logger.info(
             f"staged {len(loader.bank)} images "
@@ -162,7 +185,7 @@ def fit(cfg: Config, *, work_dir: Optional[str] = None,
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("fit_start")
 
-    it = device_prefetch(iter(loader), sharding=sharding)
+    it = device_prefetch(loader_it, sharding=sharding)
     t_last = time.time()
     imgs_since = 0
     start_step = int(ts.step)

@@ -180,11 +180,17 @@ def loss_fn(model: YuNet, cfg: Config, params, state,
 
 
 def make_train_step(cfg: Config, model: YuNet, tx, *, img_size: int,
-                    mesh: Optional[jax.sharding.Mesh] = None
+                    mesh: Optional[jax.sharding.Mesh] = None,
+                    _bank_auto_keys: Optional[frozenset] = None
                     ) -> Callable[[TrainState, Dict[str, jnp.ndarray]],
                                   Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step. With a mesh, runs SPMD over the 'dp'
-    axis via shard_map (batch sharded, params/opt replicated)."""
+    axis via shard_map (batch sharded, params/opt replicated).
+
+    _bank_auto_keys (internal, single-device only): the full batch key
+    set; jit is built with the 'bank' input layout set to AUTO so the
+    compiler CHOOSES the bank operand layout instead of copying a
+    default-layout bank inside the program (probe_bank_step)."""
     sizes = [(img_size // s, img_size // s) for s in cfg.model.strides]
     priors = jnp.asarray(grid_priors(sizes, cfg.model.strides,
                                      cfg.model.prior_offset))
@@ -235,6 +241,12 @@ def make_train_step(cfg: Config, model: YuNet, tx, *, img_size: int,
                           ema), metrics
 
     if mesh is None:
+        if _bank_auto_keys is not None:
+            from jax.experimental.layout import Format, Layout
+            batch_sh = {k: (Format(Layout.AUTO) if k == "bank" else None)
+                        for k in _bank_auto_keys}
+            return jax.jit(_step, donate_argnums=(0,),
+                           in_shardings=(None, batch_sh))
         return jax.jit(_step, donate_argnums=(0,))
 
     from jax.sharding import PartitionSpec as P
@@ -263,3 +275,45 @@ def make_train_step(cfg: Config, model: YuNet, tx, *, img_size: int,
         out_specs=(ts_spec, replicated),
         check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+def probe_bank_step(cfg: Config, model: YuNet, tx, *, img_size: int,
+                    ts: TrainState, batch_np: Dict[str, "jnp.ndarray"],
+                    bank_shape):
+    """AOT-compile the single-device train step with the bank's input
+    layout chosen by the COMPILER (Layout.AUTO), so the bank can be
+    staged directly in the layout the program reads.
+
+    Without this, the step's preferred bank layout differs from the
+    device_put default and XLA inserts a full-bank relayout copy inside
+    the program: at real-dataset scale that copy OOMs the chip (10.39 GB
+    HLO temp on a 15.75 GB v5e, round-5 XL rehearsal) and at any scale
+    it taxes every step (the round-4 roofline's layout_copies line).
+
+    Returns (compiled_step, bank_format) — the compiled executable keeps
+    make_train_step's donation and output contract — or None when the
+    backend/topology doesn't support the probe (multi-device, non-TPU);
+    callers fall back to the plain jitted step.
+    """
+    if jax.default_backend() != "tpu" or jax.device_count() != 1:
+        return None
+    try:
+        import numpy as np
+
+        step2 = make_train_step(
+            cfg, model, tx, img_size=img_size, mesh=None,
+            _bank_auto_keys=frozenset(batch_np) | {"bank"})
+        can = jax.dtypes.canonicalize_dtype
+        abstract = {
+            k: jax.ShapeDtypeStruct(np.shape(v), can(np.asarray(v).dtype))
+            for k, v in batch_np.items()}
+        abstract["bank"] = jax.ShapeDtypeStruct(bank_shape, np.uint8)
+        compiled = step2.lower(ts, abstract).compile()
+        fmt = compiled.input_formats[0][1]["bank"]
+        return compiled, fmt
+    except Exception as e:  # pragma: no cover - backend-dependent
+        import logging
+        logging.getLogger("yunet_tpu").warning(
+            f"bank layout probe failed ({e!r}); staging with the "
+            "default layout")
+        return None
