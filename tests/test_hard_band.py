@@ -46,12 +46,19 @@ BAND = 0.05
 
 @pytest.fixture(scope="session")
 def hard_val(tmp_path_factory):
-    """Regenerate the hard-tier val split (deterministic: seeded renders;
-    only the .mat timestamp headers differ run-to-run)."""
+    """Regenerate the val split the fixture's APs were recorded on
+    (deterministic: seeded renders; val seeding is independent of the
+    train split size, make_synth_wider.py generate_split(seed+7919)).
+    Geometry (tier, image count) comes from the fixture meta so a
+    fixture recorded on a larger val split regenerates that split."""
+    blob = np.load(FIXTURE, allow_pickle=False)
+    meta = json.loads(str(blob["meta"]))
     root = tmp_path_factory.mktemp("hard_val")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "make_synth_wider.py"),
-         "--out", str(root), "--train-n", "0", "--tier", "hard"],
+         "--out", str(root), "--train-n", "0",
+         "--val-n", str(meta.get("val_n", 64)),
+         "--tier", meta.get("tier", "hard")],
         capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stdout + r.stderr
     return os.path.join(str(root), "val")

@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--data", default="data/synth_wider_hard")
     p.add_argument("--config", default="yunet_n")
     p.add_argument("--out", default="tests/fixtures/r04_ema.npz")
+    p.add_argument("--tier", default="hard",
+                   help="generator tier the val split was built with "
+                   "(embedded in meta so tests/test_hard_band.py "
+                   "regenerates the SAME split)")
     args = p.parse_args(argv)
 
     import jax
@@ -76,9 +80,15 @@ def main(argv=None):
             for i, l in enumerate(pleaves)}
     blob.update({f"s{i}": np.asarray(l, np.float32)
                  for i, l in enumerate(sleaves)})
+    # embed the generator geometry so the band gate regenerates the
+    # SAME val split the APs were recorded on (count the '# path' image
+    # header lines of the labelv2 the hook just evaluated)
+    with open(cfg.data.val_ann) as f:
+        val_n = sum(1 for ln in f if ln.startswith("#"))
     blob["meta"] = json.dumps({
         "step": step, "ckpt": args.ckpt, "data": args.data,
         "n_params": len(pleaves), "n_state": len(sleaves),
+        "val_n": val_n, "tier": args.tier,
         "mode0_aps": aps, "mode2_aps": aps2})
     d = os.path.dirname(args.out)
     if d:

@@ -183,12 +183,37 @@ class ImageBank:
                 return jax.lax.dynamic_update_slice_in_dim(
                     bank, chunk, at, axis=0)
 
-            bank = _alloc()
-            for i in range(0, len(self.images), step):
-                chunk = jax.device_put(self.images[i:i + step])
-                bank = _write_fmt(bank, chunk, jnp.int32(i))
-                del chunk
-            return bank
+            want = fmt.layout.major_to_minor
+            for attempt in (1, 2):
+                bank = _alloc()
+                for i in range(0, len(self.images), step):
+                    chunk = jax.device_put(self.images[i:i + step])
+                    bank = _write_fmt(bank, chunk, jnp.int32(i))
+                    del chunk
+                # Verify the result layout: an AOT-compiled consumer
+                # REJECTS (rather than relayout-copies) a mismatched
+                # bank, and the in-step relayout the probe exists to
+                # avoid OOMs at XL scale — so a silent layout fallback
+                # here (observed once after a killed trainer left the
+                # tunnel backend warm: staged (1,3,2,0) despite
+                # out_shardings (0,3,1,2), round-5 XL resume) must be
+                # caught NOW. Retry once from host; the source images
+                # are still in host RAM so peak HBM stays bank + chunk.
+                got = bank.format.layout.major_to_minor
+                if got == want:
+                    return bank
+                import logging
+                logging.getLogger("yunet_tpu").warning(
+                    f"staged bank layout {got} != requested {want} "
+                    f"(attempt {attempt}); "
+                    + ("re-staging from host" if attempt == 1 else
+                       "giving up"))
+                del bank
+            raise RuntimeError(
+                f"bank staging produced layout {got} twice but the "
+                f"compiled train step requires {want}; re-run (the "
+                "backend may need a fresh process), or set "
+                "data.device_aug=false to use the host pipeline")
         if step >= len(self.images):
             bank = jax.device_put(self.images)
         else:
