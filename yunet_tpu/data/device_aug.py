@@ -184,36 +184,42 @@ class ImageBank:
                     bank, chunk, at, axis=0)
 
             want = fmt.layout.major_to_minor
-            for attempt in (1, 2):
-                bank = _alloc()
+            bank = _alloc()
+            # Verify the layout BEFORE the multi-minute chunk loop: an
+            # AOT-compiled consumer REJECTS (rather than
+            # relayout-copies) a mismatched bank, and the in-step
+            # relayout the probe exists to avoid OOMs at XL scale — so
+            # a silent layout fallback here (observed with the
+            # persistent compile cache enabled: staged (1,3,2,0)
+            # despite out_shardings (0,3,1,2), reproduced 4x, round-5
+            # XL rehearsal; correct with YUNET_NO_COMPILE_CACHE=1) must
+            # be caught NOW.
+            got = bank.format.layout.major_to_minor
+            if got == want:
                 for i in range(0, len(self.images), step):
                     chunk = jax.device_put(self.images[i:i + step])
                     bank = _write_fmt(bank, chunk, jnp.int32(i))
                     del chunk
-                # Verify the result layout: an AOT-compiled consumer
-                # REJECTS (rather than relayout-copies) a mismatched
-                # bank, and the in-step relayout the probe exists to
-                # avoid OOMs at XL scale — so a silent layout fallback
-                # here (observed once after a killed trainer left the
-                # tunnel backend warm: staged (1,3,2,0) despite
-                # out_shardings (0,3,1,2), round-5 XL resume) must be
-                # caught NOW. Retry once from host; the source images
-                # are still in host RAM so peak HBM stays bank + chunk.
                 got = bank.format.layout.major_to_minor
-                if got == want:
-                    return bank
-                import logging
-                logging.getLogger("yunet_tpu").warning(
-                    f"staged bank layout {got} != requested {want} "
-                    f"(attempt {attempt}); "
-                    + ("re-staging from host" if attempt == 1 else
-                       "giving up"))
-                del bank
-            raise RuntimeError(
-                f"bank staging produced layout {got} twice but the "
-                f"compiled train step requires {want}; re-run (the "
-                "backend may need a fresh process), or set "
-                "data.device_aug=false to use the host pipeline")
+            if got == want:
+                return bank
+            import logging
+            logging.getLogger("yunet_tpu").warning(
+                f"staged bank layout {got} != requested {want}; "
+                "falling back to a whole-array device_put into the "
+                "target Format (peak HBM = one bank; a single large "
+                "RPC on tunnel transports)")
+            del bank
+            bank = jax.device_put(self.images, fmt)
+            got = bank.format.layout.major_to_minor
+            if got != want:
+                raise RuntimeError(
+                    f"bank staging produced layout {got} via both the "
+                    f"donated-write path and device_put(Format), but "
+                    f"the compiled train step requires {want}; re-run "
+                    "(the backend may need a fresh process), or set "
+                    "data.device_aug=false to use the host pipeline")
+            return bank
         if step >= len(self.images):
             bank = jax.device_put(self.images)
         else:

@@ -310,6 +310,22 @@ def probe_bank_step(cfg: Config, model: YuNet, tx, *, img_size: int,
         abstract["bank"] = jax.ShapeDtypeStruct(bank_shape, np.uint8)
         compiled = step2.lower(ts, abstract).compile()
         fmt = compiled.input_formats[0][1]["bank"]
+        # Rebuild the Format from plain attributes: the instance the
+        # executable hands back prints identically but is NOT honored
+        # by out_shardings/device_put in this backend (staging came out
+        # (1,3,2,0) when this object requested (0,3,1,2), while a
+        # hand-built Format with the same fields was honored — round-5
+        # XL rehearsal, reproduced deterministically).
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+        lay = fmt.layout
+        fmt = Format(
+            Layout(major_to_minor=tuple(lay.major_to_minor),
+                   tiling=(None if lay.tiling is None
+                           else tuple(tuple(t) for t in lay.tiling)),
+                   sub_byte_element_size_in_bits=getattr(
+                       lay, "sub_byte_element_size_in_bits", 0)),
+            SingleDeviceSharding(jax.devices()[0]))
         return compiled, fmt
     except Exception as e:  # pragma: no cover - backend-dependent
         import logging
